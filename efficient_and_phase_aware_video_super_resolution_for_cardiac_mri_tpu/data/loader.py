@@ -1,0 +1,112 @@
+"""Host data loader: deterministic, threaded, prefetching.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` subclass
+(``src/data/dataloader.py``).  Differences, by design:
+
+* Items are fetched by a thread pool (gzip inflate and numpy slicing release
+  the GIL) with bounded in-order prefetch, instead of worker processes.
+* Randomness is explicit: ``set_epoch(seed)`` fixes the shuffle order and the
+  per-item augmentation Generators for the epoch — reproducing the
+  reference's per-epoch reseeding contract (``base_trainer.py:52-54``,
+  ``dataloader.py:51-53``) without global RNG state.
+* Batches are dicts of stacked numpy arrays, e.g. ``lr_imgs: (B, T, H, W, C)``
+  — time is an array axis (scan-ready), not a python list.
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..config import DATALOADERS
+from ..utils.seeding import item_rng
+
+
+def default_collate(items: list[dict]) -> dict:
+    batch: dict = {}
+    for key in items[0]:
+        values = [item[key] for item in items]
+        if isinstance(values[0], np.ndarray):
+            batch[key] = np.stack(values)
+        else:
+            batch[key] = np.asarray(values)
+    return batch
+
+
+@DATALOADERS.register()
+class Dataloader:
+    """Iterable over collated batches with threaded prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        num_workers: int = 0,
+        drop_last: bool = False,
+        collate_fn=None,
+        prefetch_batches: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(0, num_workers)
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn or default_collate
+        self.prefetch_batches = max(1, prefetch_batches)
+        self.epoch_seed = 0
+
+    def set_epoch(self, seed: int) -> None:
+        """Fix the epoch's shuffle order + augmentation randomness."""
+        self.epoch_seed = int(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.epoch_seed).shuffle(order)
+        return order
+
+    def _fetch(self, index: int) -> dict:
+        rng = item_rng(self.epoch_seed, int(index))
+        try:
+            return self.dataset.__getitem__(int(index), rng=rng)
+        except TypeError:
+            return self.dataset[int(index)]
+
+    def _batches(self, order: np.ndarray):
+        n = len(order)
+        limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, limit, self.batch_size):
+            yield order[start : start + self.batch_size]
+
+    def __iter__(self):
+        order = self._order()
+        if self.num_workers == 0:
+            for idxs in self._batches(order):
+                yield self.collate_fn([self._fetch(i) for i in idxs])
+            return
+
+        def load_batch(idxs):
+            return self.collate_fn([self._fetch(i) for i in idxs])
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = []
+            batches = self._batches(order)
+            try:
+                for _ in range(self.prefetch_batches + 1):
+                    pending.append(pool.submit(load_batch, next(batches)))
+            except StopIteration:
+                pass
+            while pending:
+                batch = pending.pop(0).result()
+                try:
+                    pending.append(pool.submit(load_batch, next(batches)))
+                except StopIteration:
+                    pass
+                yield batch

@@ -1,0 +1,209 @@
+import numpy as np
+import pytest
+
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import (
+    DATASETS,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.data import (
+    Dataloader,
+    transforms as T,
+)
+from fixtures import make_acdc_tree
+
+FRAMES = 12
+NORM = [{"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}}, {"name": "ToTensor"}]
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    return make_acdc_tree(tmp_path_factory.mktemp("acdc"), frames=FRAMES)
+
+
+# ---------------------------------------------------------------- transforms
+def test_normalize_and_tags():
+    img = np.full((4, 4, 1), 100.0, np.float32)
+    out = T.Normalize(means=[54.089], stds=[48.084])(img, img, normalize_tags=[True, False])
+    np.testing.assert_allclose(out[0], (100 - 54.089) / (48.084 + 1e-10), rtol=1e-6)
+    np.testing.assert_allclose(out[1], 100.0)
+
+
+def test_normalize_image_level():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (8, 8, 1)).astype(np.float32)
+    (out,) = T.Normalize()(img)
+    assert abs(out.mean()) < 1e-5 and abs(out.std() - 1) < 1e-4
+
+
+def test_random_crop_patch_pairs_lr_hr():
+    rng = np.random.default_rng(3)
+    lr = np.arange(16 * 16).reshape(16, 16, 1).astype(np.float32)
+    hr = np.kron(lr[..., 0], np.ones((4, 4)))[..., None].astype(np.float32)
+    out = T.RandomCropPatch(size=[8, 8], ratio=4)(lr, lr, hr, hr, rng=rng)
+    lr_c, hr_c = out[0], out[2]
+    assert lr_c.shape == (8, 8, 1) and hr_c.shape == (32, 32, 1)
+    np.testing.assert_array_equal(np.kron(lr_c[..., 0], np.ones((4, 4))), hr_c[..., 0])
+
+
+def test_flips_consistent_across_tuple():
+    rng_state = np.random.default_rng(1)
+    a = np.arange(12).reshape(3, 4, 1).astype(np.float32)
+    out = T.RandomHorizontalFlip(prob=1.0)(a, a.copy(), rng=rng_state)
+    np.testing.assert_array_equal(out[0], out[1])
+    np.testing.assert_array_equal(out[0], np.flip(a, 1))
+
+
+def test_elastic_deformation_runs_and_preserves_shape():
+    rng = np.random.default_rng(5)
+    img = np.random.default_rng(0).uniform(0, 1, (24, 24, 1)).astype(np.float32)
+    out = T.RandomElasticDeformation(prob=1.0, sigma=3)(img, img, rng=rng)
+    assert out[0].shape == img.shape
+    assert not np.allclose(out[0], img)  # actually deformed
+    np.testing.assert_array_equal(out[0], out[1])  # same field for the tuple
+
+
+def test_compose_from_config():
+    tf = T.compose(NORM)
+    img = np.full((4, 4, 1), 54.089, np.float32)
+    out = tf(img)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+# ------------------------------------------------------------------ datasets
+def test_sisr_dataset(tree):
+    ds = DATASETS.get("AcdcSISRDataset")(
+        data_dir=tree["imgs_dir"], type="train", downscale_factor=4, transforms=NORM
+    )
+    assert len(ds) == 2 * 2 * FRAMES  # patients × slices × frames
+    item = ds[0]
+    assert item["lr_img"].shape == (12, 12, 1)
+    assert item["hr_img"].shape == (48, 48, 1)
+
+
+def test_misr_dataset_window(tree):
+    ds = DATASETS.get("AcdcMISRDataset")(
+        data_dir=tree["videos_dir"],
+        type="train",
+        downscale_factor=4,
+        transforms=NORM,
+        num_frames=5,
+        temporal_order="middle",
+    )
+    item = ds[0]  # t=0 → circular wrap at the front
+    assert item["lr_imgs"].shape == (5, 12, 12, 1)
+    assert item["hr_img"].shape == (48, 48, 1)
+
+
+def test_vsr_dataset_train_and_valid(tree):
+    cls = DATASETS.get("AcdcVSRDataset")
+    ds = cls(data_dir=tree["videos_dir"], type="train", downscale_factor=4, transforms=NORM, num_frames=5)
+    item = ds[3]
+    assert item["lr_imgs"].shape == (5, 12, 12, 1)
+    assert item["hr_imgs"].shape == (5, 48, 48, 1)
+    ds_valid = cls(data_dir=tree["videos_dir"], type="valid", downscale_factor=4, transforms=NORM)
+    item = ds_valid[0]
+    assert item["lr_imgs"].shape == (FRAMES, 12, 12, 1)
+    assert item["hr_imgs"].shape == (FRAMES, 48, 48, 1)
+
+
+def test_vsr_refinenet_dataset_train_shapes(tree):
+    ds = DATASETS.get("AcdcVSRRefineNetDataset")(
+        data_dir=tree["videos_dir"],
+        type="train",
+        downscale_factor=4,
+        transforms=NORM,
+        pos_code_path=str(tree["pos_code_path"]),
+        num_frames=7,
+        num_updated_frames=6,
+    )
+    item = ds[0]
+    assert item["lr_imgs"].shape == (7 + 12, 12, 12, 1)
+    assert item["hr_imgs"].shape == (7, 48, 48, 1)
+    assert item["pos_code"].shape == (19, 1)
+
+
+def test_vsr_refinenet_dataset_test_margins(tree):
+    ds = DATASETS.get("AcdcVSRRefineNetDataset")(
+        data_dir=tree["videos_dir"],
+        type="test",
+        downscale_factor=4,
+        transforms=NORM,
+        pos_code_path=str(tree["pos_code_path"]),
+        num_frames=7,
+        num_updated_frames=6,
+    )
+    item = ds[0]
+    assert item["lr_imgs"].shape == (FRAMES + 12, 12, 12, 1)
+    assert item["hr_imgs"].shape == (FRAMES, 48, 48, 1)
+    assert item["pos_code"].shape == (FRAMES + 12, 1)
+    # warm-up margins wrap circularly: frame at position 0 equals frame T-U of the cycle
+    lr = item["lr_imgs"]
+    np.testing.assert_allclose(lr[0], lr[FRAMES])
+
+
+def test_dsb15_refinenet_dataset_exists(tree):
+    # the reference names this class in configs but never defines it (quirk 5)
+    ds = DATASETS.get("Dsb15VSRRefineNetDataset")(
+        data_dir=tree["videos_dir"],
+        type="test",
+        downscale_factor=4,
+        transforms=NORM,
+        pos_code_path=str(tree["pos_code_path"]),
+        num_frames=7,
+        num_updated_frames=6,
+    )
+    assert len(ds) > 0
+
+
+def test_pos_code_not_normalized(tree):
+    ds = DATASETS.get("AcdcVSRRefineNetDataset")(
+        data_dir=tree["videos_dir"],
+        type="test",
+        downscale_factor=4,
+        transforms=NORM,
+        pos_code_path=str(tree["pos_code_path"]),
+        num_frames=7,
+        num_updated_frames=6,
+    )
+    item = ds[0]
+    assert np.abs(item["pos_code"]).max() <= 1.0 + 1e-6  # raw cosine, not normalized
+
+
+# ------------------------------------------------------------------- loader
+def test_loader_batches_and_determinism(tree):
+    ds = DATASETS.get("AcdcVSRRefineNetDataset")(
+        data_dir=tree["videos_dir"],
+        type="train",
+        downscale_factor=4,
+        transforms=NORM,
+        augments=[
+            {"name": "RandomHorizontalFlip"},
+            {"name": "RandomVerticalFlip"},
+            {"name": "RandomCropPatch", "kwargs": {"size": [8, 8], "ratio": 4}},
+        ],
+        pos_code_path=str(tree["pos_code_path"]),
+        num_frames=7,
+        num_updated_frames=6,
+    )
+    loader = Dataloader(ds, batch_size=4, shuffle=True, num_workers=2, drop_last=True)
+    loader.set_epoch(123)
+    batches1 = [b["lr_imgs"].copy() for b in loader]
+    assert batches1[0].shape == (4, 19, 8, 8, 1)
+    loader.set_epoch(123)
+    batches2 = [b["lr_imgs"].copy() for b in loader]
+    for a, b in zip(batches1, batches2):
+        np.testing.assert_array_equal(a, b)
+    loader.set_epoch(124)
+    batches3 = [b["lr_imgs"].copy() for b in loader]
+    assert any(not np.array_equal(a, b) for a, b in zip(batches1, batches3))
+
+
+def test_loader_len_and_sequential(tree):
+    ds = DATASETS.get("AcdcSISRDataset")(
+        data_dir=tree["imgs_dir"], type="valid", downscale_factor=4, transforms=NORM
+    )
+    loader = Dataloader(ds, batch_size=1, shuffle=False, num_workers=0)
+    assert len(loader) == len(ds)
+    batch = next(iter(loader))
+    assert batch["lr_img"].shape == (1, 12, 12, 1)
+    assert batch["index"][0] == 0
