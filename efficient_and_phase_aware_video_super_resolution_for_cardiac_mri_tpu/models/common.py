@@ -1,0 +1,125 @@
+"""Shared model building blocks (Flax linen, channel-last).
+
+The conv/PReLU/upsample blocks every reference net composes
+(``_InBlock``/``_OutBlock`` pattern at reference ``refine_net.py:188-205``,
+``edsr_net.py:56-67``), built TPU-first:
+
+* channel-last NHWC convs (native TPU layout, MXU-friendly)
+* time folded into the batch axis for per-frame blocks
+* PyTorch-default initialization for train-from-scratch parity
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.pixel_shuffle import pixel_shuffle
+from ..ops.torch_init import torch_conv_bias_init, torch_conv_kernel_init
+
+
+def conv(features: int, kernel_size: int | tuple = 3, in_features: int | None = None,
+         strides: int = 1, name: str | None = None, use_bias: bool = True) -> nn.Conv:
+    """nn.Conv with torch-default init and SAME-style integer padding."""
+    ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) else tuple(kernel_size)
+    pad = tuple((k // 2, k // 2) for k in ks)
+    bias_init = nn.initializers.zeros
+    if in_features is not None:
+        fan_in = in_features * math.prod(ks)
+        bias_init = torch_conv_bias_init(fan_in)
+    return nn.Conv(
+        features,
+        ks,
+        strides=(strides, strides) if isinstance(strides, int) else strides,
+        padding=pad,
+        kernel_init=torch_conv_kernel_init,
+        bias_init=bias_init,
+        use_bias=use_bias,
+        name=name,
+    )
+
+
+class PReLU(nn.Module):
+    """Single-parameter PReLU, init 0.2 (reference uses
+    ``nn.PReLU(num_parameters=1, init=0.2)`` throughout)."""
+
+    init: float = 0.2
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("weight", lambda k: jnp.full((1,), self.init, jnp.float32))
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def fold_time(x: jnp.ndarray) -> tuple[jnp.ndarray, tuple]:
+    """(B, T, H, W, C) → (B·T, H, W, C); returns the unfold spec."""
+    B, T = x.shape[:2]
+    return x.reshape(B * T, *x.shape[2:]), (B, T)
+
+
+def unfold_time(x: jnp.ndarray, spec: tuple) -> jnp.ndarray:
+    B, T = spec
+    return x.reshape(B, T, *x.shape[1:])
+
+
+class InBlock(nn.Module):
+    """conv3×3 + PReLU (reference ``refine_net.py:188-192``)."""
+
+    features: int
+    in_features: int | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = conv(self.features, 3, self.in_features, name="conv")(x)
+        return PReLU(name="prelu")(x)
+
+
+class UpsampleBlock(nn.Module):
+    """conv(C→C·r²) + PixelShuffle stages for ×{2,3,4,8}
+    (reference ``refine_net.py:194-205``, ``edsr_net.py:56-67``)."""
+
+    features: int
+    out_features: int
+    upscale_factor: int
+    final_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.upscale_factor
+        if r in (2, 4, 8):
+            n = int(math.log2(r))
+            for i in range(n):
+                x = conv(4 * self.features, 3, self.features, name=f"conv{i+1}")(x)
+                x = pixel_shuffle(x, 2)
+            if self.final_conv:
+                x = conv(self.out_features, 3, self.features, name=f"conv{n+1}")(x)
+        elif r == 3:
+            x = conv(9 * self.features, 3, self.features, name="conv1")(x)
+            x = pixel_shuffle(x, 3)
+            if self.final_conv:
+                x = conv(self.out_features, 3, self.features, name="conv2")(x)
+        else:
+            raise ValueError(f"The upscale factor should be 2, 3, 4 or 8. Got {r}.")
+        return x
+
+
+def param_count(params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))
+
+
+def param_summary(params) -> str:
+    """Trainable parameter count + fp32 memory, like the reference
+    ``BaseNet.__repr__`` (``src/model/nets/base_net.py:11-13``)."""
+    n = param_count(params)
+    return f"Trainable parameters: {n:,} | fp32 size: {n * 4 / 2**20:.2f} MiB"
+
+
+def sg(x):
+    """Alias for stop_gradient over a pytree — marks torch.no_grad boundaries."""
+    return jax.tree.map(jax.lax.stop_gradient, x)
+
+
+Shape = Sequence[int]

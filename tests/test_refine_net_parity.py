@@ -1,0 +1,186 @@
+"""Numerical parity of the flax RefineNet against the PyTorch reference.
+
+Loads the reference implementation dynamically (never copied), transfers its
+randomly-initialized weights into the flax model, and compares every output
+branch — forward values and the no-grad boundary structure of gradients.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+    RefineNet,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils.torch_import import (
+    params_from_torch_state_dict,
+)
+from reference_loader import load_reference_refine_net, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)
+
+CFG = dict(
+    in_channels=1,
+    out_channels=1,
+    num_features=[8, 8],
+    num_stages=2,
+    refine_window_size=5,
+    upscale_factor=4,
+    update_memory=True,
+    num_updated_frames=3,
+    memory=True,
+    positional_encoding=True,
+)
+B, TC, H, W = 2, 5, 8, 8
+T = TC + 2 * CFG["num_updated_frames"]
+
+
+@pytest.fixture(scope="module")
+def pair():
+    import torch
+
+    torch.manual_seed(0)
+    rn = load_reference_refine_net()
+    ref = rn.RefineNet(**CFG)
+    ref.eval()
+
+    params = {"params": params_from_torch_state_dict("RefineNet", ref.state_dict())}
+    model = RefineNet(**CFG)
+    return ref, model, params
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(7)
+    lr = rng.standard_normal((B, T, H, W, 1)).astype(np.float32)
+    pos = rng.uniform(-1, 1, (B, T, 1)).astype(np.float32)
+    return lr, pos
+
+
+def _torch_forward(ref, lr, pos):
+    import torch
+
+    t_inputs = [torch.from_numpy(lr[:, t].transpose(0, 3, 1, 2)).contiguous() for t in range(T)]
+    t_pos = torch.from_numpy(pos)
+    with torch.no_grad():
+        outs = ref(t_inputs, t_pos)
+    # tuple of (num_stages*3) lists of TC tensors (B,1,sH,sW) → arrays (B,TC,sH,sW,1)
+    return [
+        np.stack([o.numpy() for o in branch], axis=1).transpose(0, 1, 3, 4, 2)
+        for branch in outs
+    ]
+
+
+def test_forward_parity_all_branches(pair, inputs):
+    ref, model, params = pair
+    lr, pos = inputs
+    want = _torch_forward(ref, lr, pos)
+    got = jax.jit(lambda p, x, pc: model.apply(p, x, pc))(params, lr, pos)
+    assert len(got) == len(want) == CFG["num_stages"] * 3
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g.shape == w.shape, f"branch {i}: {g.shape} vs {w.shape}"
+        np.testing.assert_allclose(np.asarray(g), w, atol=5e-5, rtol=1e-4), f"branch {i}"
+
+
+def test_forward_parity_without_pe():
+    import torch
+
+    cfg = dict(CFG, positional_encoding=False)
+    torch.manual_seed(1)
+    rn = load_reference_refine_net()
+    ref = rn.RefineNet(**cfg)
+    ref.eval()
+    params = {"params": params_from_torch_state_dict("RefineNet", ref.state_dict())}
+    model = RefineNet(**cfg)
+    rng = np.random.default_rng(8)
+    lr = rng.standard_normal((1, T, H, W, 1)).astype(np.float32)
+    pos = rng.uniform(-1, 1, (1, T, 1)).astype(np.float32)
+    want = _torch_forward(ref, lr, pos)
+    got = model.apply(params, lr, pos)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, atol=5e-5, rtol=1e-4)
+
+
+def test_gradient_nograd_boundary_parity(pair, inputs):
+    """Gradients w.r.t. every parameter must match the reference's
+    torch.no_grad() warm-up structure (refine_net.py:74-93,179-183)."""
+    import torch
+
+    ref, model, params = pair
+    lr, pos = inputs
+
+    # torch gradients of sum(all branch outputs)
+    t_inputs = [
+        torch.from_numpy(lr[:, t].transpose(0, 3, 1, 2)).contiguous().requires_grad_(False)
+        for t in range(T)
+    ]
+    t_pos = torch.from_numpy(pos)
+    ref.zero_grad()
+    outs = ref(t_inputs, t_pos)
+    loss = sum(o.mean() for branch in outs for o in branch)
+    loss.backward()
+    t_grads = {k: p.grad.numpy() if p.grad is not None else None for k, p in ref.named_parameters()}
+
+    def jax_loss(p):
+        outs = model.apply(p, lr, pos)
+        # per-frame means summed, matching the torch loss above
+        return sum(jnp.sum(jnp.mean(o, axis=(0, 2, 3, 4))) for o in outs)
+
+    j_grads = jax.grad(jax_loss)(params)["params"]
+
+    checks = [
+        ("in_block.conv.weight", ("in_block", "conv", "kernel"), (2, 3, 1, 0)),
+        ("in_block.prelu.weight", ("in_block", "prelu", "weight"), None),
+        (
+            "forward_lstm_block.cell_list.0.conv.weight",
+            ("forward_lstm_block", "cells", "cell0", "kernel"),
+            (2, 3, 1, 0),
+        ),
+        (
+            "backward_lstm_block.cell_list.1.conv.bias",
+            ("backward_lstm_block", "cells", "cell1", "bias"),
+            None,
+        ),
+        ("refine_block.body.conv1.weight", ("refine_block", "conv1", "kernel"), (2, 3, 1, 0)),
+        ("out_block.conv1.bias", ("out_block", "conv1", "bias"), None),
+    ]
+    for t_key, j_path, perm in checks:
+        want = t_grads[t_key]
+        node = j_grads
+        for p in j_path:
+            node = node[p]
+        got = np.asarray(node)
+        if perm is not None:
+            got = got.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-3), t_key
+
+
+def test_quirk3_refine_body_is_linear(pair):
+    """The refine block applies no activation (quirk 3): doubling its input
+    must exactly double (map - bias_response)."""
+    _, model, params = pair
+    rng = np.random.default_rng(9)
+    F = CFG["num_features"][-1]
+    fwd = rng.standard_normal((1, 7, H, W, F)).astype(np.float32)
+    bwd = rng.standard_normal((1, 7, H, W, F)).astype(np.float32)
+    pos = rng.uniform(-1, 1, (1, 7, 1)).astype(np.float32)
+
+    sub = model.bind(params)
+    import flax.linen as nn
+
+    # capture refine block output through the module interface
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models.refine_net import (
+        RefineBlock,
+    )
+
+    rb_params = {"params": params["params"]["refine_block"]}
+    rb = RefineBlock(F, CFG["refine_window_size"], 0, True)
+    zero = rb.apply(rb_params, jnp.zeros_like(fwd), jnp.zeros_like(bwd), jnp.zeros_like(pos))
+    one = rb.apply(rb_params, fwd, bwd, pos)
+    two = rb.apply(rb_params, 2 * fwd, 2 * bwd, 2 * pos)
+    np.testing.assert_allclose(
+        np.asarray(two - zero), 2 * np.asarray(one - zero), atol=1e-4, rtol=1e-4
+    )
