@@ -1,0 +1,143 @@
+"""Benchmark: flagship RefineNet x4 inference throughput (frames/sec/chip).
+
+Protocol (BASELINE.md): the paper's eval setting — batch 1, one full cardiac
+cycle (30 frames) plus 6 warm-up frames each side, 64×64 LR → 256×256 SR,
+final fused stage output, flagship net (features [64,64,64], 3 stages,
+positional encoding).
+
+Baseline: the PyTorch reference model timed on this host's CPU under the
+identical protocol (measured once, cached in BENCH_BASELINE.json — the repo
+publishes no numbers, SURVEY.md §6).  ``vs_baseline`` = ours / reference-CPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent
+BASELINE_CACHE = REPO / "BENCH_BASELINE.json"
+
+CORE_T, U, LR_HW, BATCH = 30, 6, 64, 1
+CFG = dict(
+    in_channels=1,
+    out_channels=1,
+    num_features=[64, 64, 64],
+    upscale_factor=4,
+    num_stages=3,
+    update_memory=True,
+    num_updated_frames=U,
+    refine_window_size=5,
+    positional_encoding=True,
+)
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    T = CORE_T + 2 * U
+    lr = rng.standard_normal((BATCH, T, LR_HW, LR_HW, 1)).astype(np.float32)
+    pos = rng.uniform(-1, 1, (BATCH, T, 1)).astype(np.float32)
+    return lr, pos
+
+
+def bench_jax(iters: int = 10, warmup: int = 2) -> dict:
+    import jax
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+        RefineNet,
+    )
+
+    model = RefineNet(**CFG)
+    lr, pos = _inputs()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), lr, pos)
+
+    @jax.jit
+    def forward(v, lr, pos):
+        return model.apply(v, lr, pos)[-1]
+
+    lr_d, pos_d = jax.device_put(lr), jax.device_put(pos)
+    out = forward(variables, lr_d, pos_d)
+    out.block_until_ready()
+    for _ in range(warmup):
+        forward(variables, lr_d, pos_d).block_until_ready()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        forward(variables, lr_d, pos_d).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    sec = float(np.median(times))
+    return {
+        "frames_per_sec": BATCH * CORE_T / sec,
+        "sec_per_clip": sec,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def bench_torch_reference(iters: int = 2) -> dict | None:
+    """Time the PyTorch reference on CPU under the same protocol (cached)."""
+    if BASELINE_CACHE.exists():
+        return json.loads(BASELINE_CACHE.read_text())
+    try:
+        import sys
+
+        sys.path.insert(0, str(REPO / "tests"))
+        from reference_loader import load_reference_refine_net, reference_available
+
+        if not reference_available():
+            return None
+        import torch
+
+        torch.manual_seed(0)
+        rn = load_reference_refine_net()
+        net = rn.RefineNet(**CFG)
+        net.eval()
+        lr, pos = _inputs()
+        T = lr.shape[1]
+        t_inputs = [torch.from_numpy(lr[:, t].transpose(0, 3, 1, 2)).contiguous() for t in range(T)]
+        t_pos = torch.from_numpy(pos)
+        with torch.no_grad():
+            net(t_inputs, t_pos)  # warmup
+            times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                net(t_inputs, t_pos)
+                times.append(time.perf_counter() - t0)
+        sec = float(min(times))
+        result = {
+            "frames_per_sec": BATCH * CORE_T / sec,
+            "sec_per_clip": sec,
+            "device": "cpu (pytorch reference)",
+        }
+        BASELINE_CACHE.write_text(json.dumps(result))
+        return result
+    except Exception:
+        return None
+
+
+def main():
+    ours = bench_jax()
+    baseline = bench_torch_reference()
+    vs = ours["frames_per_sec"] / baseline["frames_per_sec"] if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": "refine_net_x4_sr_frames_per_sec",
+                "value": round(ours["frames_per_sec"], 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(vs, 3) if vs is not None else None,
+                "detail": {
+                    "ours": ours,
+                    "baseline": baseline,
+                    "protocol": f"batch {BATCH}, {CORE_T}+2x{U} frames, {LR_HW}x{LR_HW} LR, x4, fp32",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

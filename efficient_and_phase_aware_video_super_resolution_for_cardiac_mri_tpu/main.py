@@ -1,0 +1,222 @@
+"""Composition root: run training or testing from a YAML config.
+
+Drop-in equivalent of the reference CLI (``src/main.py:19-167``):
+
+    python -m efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main CONFIG [--test]
+
+The reference's ``configs/train|test/**.yaml`` files load unchanged: the same
+12 sections, the same ``{name, kwargs}`` component blocks, the same seeding
+entry points.  Device strings like ``'cuda:0'`` are mapped to the available
+JAX backend (TPU if present, else CPU) — the configs stay portable.
+
+Optional extension section (absent from reference configs, defaulted off):
+
+    parallel:
+        num_devices: 8     # data-parallel mesh size (default: all devices)
+
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+from .config import (
+    DATALOADERS,
+    DATASETS,
+    LOGGERS,
+    LOSSES,
+    METRICS,
+    MONITORS,
+    PREDICTORS,
+    TRAINERS,
+    Cfg,
+    load_config,
+)
+from .utils.seeding import seed_everything
+
+logger = logging.getLogger(__name__)
+
+
+def _import_components():
+    # populate the registries
+    from . import data, losses, metrics, models  # noqa: F401
+    from .runner import loggers, monitor, predictors, trainers  # noqa: F401
+
+
+def resolve_device(device_str: str | None):
+    """Map the reference's ``'cuda:0'`` strings to the JAX backend."""
+    import jax
+
+    platforms = {d.platform for d in jax.devices()}
+    if device_str and device_str.startswith("cpu"):
+        return "cpu"
+    return "tpu" if ("tpu" in platforms or "axon" in platforms) else next(iter(platforms))
+
+
+def build_mesh(cfg: Cfg):
+    parallel = cfg.get("parallel")
+    if not parallel:
+        return None
+    from .parallel import make_mesh
+
+    return make_mesh(parallel.get("num_devices"), parallel.get("model_parallel", 1))
+
+
+def _build_losses(cfg: Cfg):
+    loss_fns, loss_weights = [], []
+    for c in cfg.losses:
+        loss_fns.append(LOSSES.build(c))
+        loss_weights.append(c.get("weight", 1.0))
+    return loss_fns, loss_weights
+
+
+def _build_metrics(cfg: Cfg):
+    return [METRICS.build(c) for c in cfg.get("metrics", [])]
+
+
+def train_from_config(cfg: Cfg):
+    _import_components()
+    from .runner.optim import build_lr_scheduler, build_optimizer
+
+    saved_dir = Path(cfg.main.saved_dir)
+    saved_dir.mkdir(parents=True, exist_ok=True)
+    cfg.to_yaml(saved_dir / "config.yaml")
+
+    num_epochs = cfg.trainer.kwargs.get("num_epochs", 1)
+    seed_state = seed_everything(cfg.main.get("random_seed", "vsr"), num_epochs)
+
+    logger.info("Create the training and validation datasets.")
+    data_dir = Path(cfg.dataset.kwargs.data_dir)
+    train_ds = DATASETS.build(cfg.dataset, data_dir=data_dir, type="train")
+    valid_ds = DATASETS.build(cfg.dataset, data_dir=data_dir, type="valid")
+
+    logger.info("Create the training and validation dataloaders.")
+    dl_kwargs = dict(cfg.dataloader.get("kwargs") or {})
+    train_bs = dl_kwargs.pop("train_batch_size", dl_kwargs.pop("batch_size", 1))
+    valid_bs = dl_kwargs.pop("valid_batch_size", 1)
+    dl_cls = DATALOADERS.get(cfg.dataloader.name)
+    collate_fn = getattr(type(train_ds), "collate_fn", None)
+    train_loader = dl_cls(train_ds, batch_size=train_bs, collate_fn=collate_fn, **dl_kwargs)
+    dl_kwargs["shuffle"] = False
+    valid_loader = dl_cls(valid_ds, batch_size=valid_bs, collate_fn=collate_fn, **dl_kwargs)
+
+    logger.info("Create the network architecture.")
+    from .config import NETS
+
+    net = NETS.build(cfg.net)
+
+    logger.info("Create the loss and metric functions.")
+    loss_fns, loss_weights = _build_losses(cfg)
+    metric_fns = _build_metrics(cfg)
+
+    logger.info("Create the optimizer and the lr scheduler.")
+    optimizer = build_optimizer(cfg.optimizer)
+    lr_scheduler = build_lr_scheduler(cfg.get("lr_scheduler"), optimizer.base_lr)
+
+    logger.info("Create the logger and the monitor.")
+    logger_kwargs = dict(cfg.logger.get("kwargs") or {})
+    logger_kwargs.pop("dummy_input", None)
+    tb_logger = LOGGERS.get(cfg.logger.name)(log_dir=saved_dir / "log", net=net, **logger_kwargs)
+    monitor = MONITORS.build(cfg.monitor, checkpoints_dir=saved_dir / "checkpoints")
+
+    logger.info("Create the trainer.")
+    trainer_kwargs = dict(cfg.trainer.get("kwargs") or {})
+    trainer_kwargs["device"] = resolve_device(trainer_kwargs.get("device"))
+    trainer = TRAINERS.get(cfg.trainer.name)(
+        train_dataloader=train_loader,
+        valid_dataloader=valid_loader,
+        net=net,
+        loss_fns=loss_fns,
+        loss_weights=loss_weights,
+        metric_fns=metric_fns,
+        optimizer=optimizer,
+        lr_scheduler=lr_scheduler,
+        logger=tb_logger,
+        monitor=monitor,
+        mesh=build_mesh(cfg),
+        seed_state=seed_state,
+        **trainer_kwargs,
+    )
+
+    loaded_path = cfg.main.get("loaded_path")
+    if loaded_path:
+        logger.info(f'Load the previous checkpoint from "{loaded_path}".')
+        trainer.load(Path(loaded_path))
+        logger.info("Resume training.")
+    else:
+        logger.info("Start training.")
+    trainer.train()
+    logger.info("End training.")
+    return trainer
+
+
+def test_from_config(cfg: Cfg):
+    _import_components()
+
+    saved_dir = Path(cfg.main.saved_dir)
+    saved_dir.mkdir(parents=True, exist_ok=True)
+    cfg.to_yaml(saved_dir / "config.yaml")
+
+    logger.info("Create the testing dataset and dataloader.")
+    data_dir = Path(cfg.dataset.kwargs.data_dir)
+    test_ds = DATASETS.build(cfg.dataset, data_dir=data_dir, type="test")
+    dl_kwargs = dict(cfg.dataloader.get("kwargs") or {})
+    dl_cls = DATALOADERS.get(cfg.dataloader.name)
+    collate_fn = getattr(type(test_ds), "collate_fn", None)
+    test_loader = dl_cls(test_ds, collate_fn=collate_fn, **dl_kwargs)
+
+    logger.info("Create the network architecture.")
+    from .config import NETS
+
+    net = NETS.build(cfg.net)
+
+    loss_fns, loss_weights = _build_losses(cfg)
+    metric_fns = _build_metrics(cfg)
+
+    logger.info("Create the predictor.")
+    pred_kwargs = dict(cfg.predictor.get("kwargs") or {})
+    pred_kwargs["device"] = resolve_device(pred_kwargs.get("device"))
+    predictor = PREDICTORS.get(cfg.predictor.name)(
+        test_dataloader=test_loader,
+        net=net,
+        loss_fns=loss_fns,
+        loss_weights=loss_weights,
+        metric_fns=metric_fns,
+        mesh=build_mesh(cfg),
+        **pred_kwargs,
+    )
+
+    if cfg.net.name != "Bicubic":
+        logger.info(f'Load the previous checkpoint from "{cfg.main.loaded_path}".')
+        predictor.load(Path(cfg.main.loaded_path))
+    else:
+        first = test_ds[0]
+        batch = {k: (v[None] if hasattr(v, "ndim") else [v]) for k, v in first.items()}
+        predictor.init_params_like(batch)
+    logger.info("Start testing.")
+    predictor.predict()
+    logger.info("End testing.")
+    return predictor
+
+
+def main(config_path, test: bool = False):
+    cfg = load_config(config_path)
+    return test_from_config(cfg) if test else train_from_config(cfg)
+
+
+def _parse_args():
+    parser = argparse.ArgumentParser(description="The script for the training and the testing.")
+    parser.add_argument("config_path", type=Path, help="The path of the config file.")
+    parser.add_argument("--test", action="store_true", help="Run the test path.")
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    logging.basicConfig(
+        format="%(asctime)s | %(levelname)s | %(message)s",
+        level=logging.INFO,
+        datefmt="%Y-%m-%d %H:%M:%S",
+    )
+    args = _parse_args()
+    main(args.config_path, args.test)

@@ -1,0 +1,66 @@
+"""Checkpoint save/restore.
+
+Single-file checkpoints carrying {net params, optimizer state, lr-scheduler
+state, monitor state, epoch, RNG state} — the reference's ``torch.save`` dict
+contract (``base_trainer.py:224-252``) realized as numpy pytree pickles.
+Files keep the reference's ``model_{epoch}.pth`` / ``model_best.pth`` names so
+the shipped test configs' ``loaded_path`` entries work unchanged.
+
+``load_net_params`` additionally accepts genuine PyTorch ``.pth`` checkpoints
+(converted through ``utils.torch_import``), so nets trained with the
+reference can be evaluated on TPU directly.
+"""
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, *, params, opt_state=None, lr_scheduler_state=None,
+                    monitor_state=None, epoch=None, seed_state=None) -> None:
+    payload = {
+        "format": "evsr_tpu.v1",
+        "net": _to_numpy(params),
+        "optimizer": _to_numpy(opt_state) if opt_state is not None else None,
+        "lr_scheduler": lr_scheduler_state,
+        "monitor": monitor_state,
+        "epoch": epoch,
+        "seed_state": seed_state,
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def _is_torch_zipfile(path: Path) -> bool:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    return magic[:2] == b"PK"  # torch>=1.6 zip serialization
+
+
+def load_checkpoint(path) -> dict:
+    path = Path(path)
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_net_params(path, model_name: str | None = None) -> dict:
+    """Load net params from either our checkpoint or a reference torch .pth."""
+    path = Path(path)
+    if _is_torch_zipfile(path):
+        from ..utils.torch_import import load_torch_checkpoint, params_from_torch_state_dict
+
+        if model_name is None:
+            raise ValueError("model_name is required to import a torch checkpoint.")
+        state = load_torch_checkpoint(path)
+        return params_from_torch_state_dict(model_name, state)
+    ckpt = load_checkpoint(path)
+    return ckpt["net"]

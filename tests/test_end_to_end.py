@@ -1,0 +1,243 @@
+"""End-to-end: train + test through YAML configs with the reference schema.
+
+The minimum end-to-end slice (SURVEY.md §7): RefineNet train for 2 epochs on
+the synthetic fixture tree, checkpoints written by the monitor policy, then
+the test path evaluates the best checkpoint with Cardiac metrics and exports
+CSV/GIF/PNG.
+"""
+import csv
+
+import numpy as np
+import pytest
+import yaml
+
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import Cfg
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main import (
+    test_from_config as run_test_config,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main import (
+    train_from_config,
+)
+from fixtures import make_acdc_tree
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    return make_acdc_tree(tmp_path_factory.mktemp("acdc"), frames=10, hr_size=(48, 48))
+
+
+def _train_cfg(tree, saved_dir) -> Cfg:
+    return Cfg(
+        {
+            "main": {"random_seed": "vsr", "saved_dir": str(saved_dir)},
+            "dataset": {
+                "name": "AcdcVSRRefineNetDataset",
+                "kwargs": {
+                    "data_dir": str(tree["videos_dir"]),
+                    "downscale_factor": 4,
+                    "pos_code_path": str(tree["pos_code_path"]),
+                    "transforms": [
+                        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+                        {"name": "ToTensor"},
+                    ],
+                    "augments": [
+                        {"name": "RandomHorizontalFlip"},
+                        {"name": "RandomVerticalFlip"},
+                        {"name": "RandomCropPatch", "kwargs": {"size": [8, 8], "ratio": 4}},
+                    ],
+                    "num_frames": 5,
+                    "num_updated_frames": 3,
+                },
+            },
+            "dataloader": {
+                "name": "Dataloader",
+                "kwargs": {
+                    "train_batch_size": 4,
+                    "valid_batch_size": 1,
+                    "shuffle": True,
+                    "num_workers": 2,
+                    "drop_last": True,
+                },
+            },
+            "net": {
+                "name": "RefineNet",
+                "kwargs": {
+                    "in_channels": 1,
+                    "out_channels": 1,
+                    "num_features": [6, 6],
+                    "upscale_factor": 4,
+                    "num_stages": 2,
+                    "update_memory": True,
+                    "num_updated_frames": 3,
+                    "refine_window_size": 5,
+                    "positional_encoding": True,
+                },
+            },
+            "losses": [{"name": "L1Loss", "weight": 1.0}],
+            "metrics": [{"name": "PSNR"}, {"name": "SSIM"}],
+            "optimizer": {"name": "Adam", "kwargs": {"lr": 0.001, "weight_decay": 0}},
+            "logger": {"name": "AcdcVSRLogger", "kwargs": {"dummy_input": [4, 1, 8, 8]}},
+            "monitor": {
+                "name": "Monitor",
+                "kwargs": {"mode": "min", "target": "Loss", "saved_freq": 2, "early_stop": 0},
+            },
+            "trainer": {
+                "name": "AcdcVSRRefineNetTrainer",
+                "kwargs": {"device": "cuda:0", "num_epochs": 2},
+            },
+        }
+    )
+
+
+def _test_cfg(tree, train_dir, saved_dir) -> Cfg:
+    return Cfg(
+        {
+            "main": {
+                "saved_dir": str(saved_dir),
+                "loaded_path": str(train_dir / "checkpoints" / "model_best.pth"),
+            },
+            "dataset": {
+                "name": "AcdcVSRRefineNetDataset",
+                "kwargs": {
+                    "data_dir": str(tree["videos_dir"]),
+                    "downscale_factor": 4,
+                    "pos_code_path": str(tree["pos_code_path"]),
+                    "transforms": [
+                        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+                        {"name": "ToTensor"},
+                    ],
+                    "num_frames": 5,
+                    "num_updated_frames": 3,
+                },
+            },
+            "dataloader": {
+                "name": "Dataloader",
+                "kwargs": {"batch_size": 1, "shuffle": False, "num_workers": 2},
+            },
+            "net": {
+                "name": "RefineNet",
+                "kwargs": {
+                    "in_channels": 1,
+                    "out_channels": 1,
+                    "num_features": [6, 6],
+                    "upscale_factor": 4,
+                    "num_stages": 2,
+                    "update_memory": True,
+                    "num_updated_frames": 3,
+                    "refine_window_size": 5,
+                    "positional_encoding": True,
+                },
+            },
+            "losses": [{"name": "L1Loss", "weight": 1.0}],
+            "metrics": [
+                {"name": "PSNR"},
+                {"name": "SSIM"},
+                {"name": "CardiacPSNR", "kwargs": {"coordinates_path": str(tree["coordinates_path"])}},
+                {"name": "CardiacSSIM", "kwargs": {"coordinates_path": str(tree["coordinates_path"])}},
+            ],
+            "predictor": {
+                "name": "AcdcVSRRefineNetPredictor",
+                "kwargs": {"device": "cuda:0", "saved_dir": str(saved_dir), "exported": True},
+            },
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(tree, tmp_path_factory):
+    saved_dir = tmp_path_factory.mktemp("train")
+    cfg = _train_cfg(tree, saved_dir)
+    trainer = train_from_config(cfg)
+    return trainer, saved_dir
+
+
+def test_training_runs_and_checkpoints(trained):
+    trainer, saved_dir = trained
+    assert (saved_dir / "config.yaml").exists()
+    assert (saved_dir / "checkpoints" / "model_2.pth").exists()  # saved_freq=2
+    assert (saved_dir / "checkpoints" / "model_best.pth").exists()
+    assert trainer.epoch == 3  # ran 2 epochs
+    assert trainer.throughput["train_steps_per_sec"] > 0
+
+
+def test_training_loss_is_finite_and_decreasing_signal(trained):
+    trainer, _ = trained
+    assert np.isfinite(trainer.monitor.best)
+
+
+def test_resume_from_checkpoint(tree, trained, tmp_path_factory):
+    _, train_dir = trained
+    saved_dir = tmp_path_factory.mktemp("resume")
+    cfg = _train_cfg(tree, saved_dir)
+    cfg.main.loaded_path = str(train_dir / "checkpoints" / "model_2.pth")
+    cfg.trainer.kwargs.num_epochs = 3
+    trainer = train_from_config(cfg)
+    assert trainer.epoch == 4  # resumed at 3, ran 1 more
+
+
+def test_yaml_roundtrip_config(tree, trained, tmp_path):
+    # the config as loaded from an actual YAML file on disk
+    _, train_dir = trained
+    cfg = _test_cfg(tree, train_dir, tmp_path / "test_out")
+    path = tmp_path / "cfg.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)
+    cfg2 = Cfg.from_yaml(filename=path)
+    assert cfg2.to_dict() == cfg.to_dict()
+
+
+def test_predict_exports(tree, trained, tmp_path_factory):
+    _, train_dir = trained
+    out_dir = tmp_path_factory.mktemp("test_out")
+    cfg = _test_cfg(tree, train_dir, out_dir)
+    predictor = run_test_config(cfg)
+
+    assert predictor.log is not None
+    assert np.isfinite(predictor.log["Loss"])
+    assert 0 <= predictor.log["SSIM"] <= 1
+    assert predictor.log["PSNR"] > 0
+    # exports: csv with per-frame rows, gif per sequence, png per frame
+    csv_path = out_dir / "results.csv"
+    assert csv_path.exists()
+    with open(csv_path) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["name", "PSNR", "SSIM", "CardiacPSNR", "CardiacSSIM", "L1Loss"]
+    n_items = len(predictor.test_dataloader.dataset)
+    assert len(rows) == 1 + n_items * 10  # frames per sequence
+    gifs = list((out_dir / "videos").rglob("*.gif"))
+    pngs = list((out_dir / "imgs").rglob("*.png"))
+    assert len(gifs) == n_items
+    assert len(pngs) == n_items * 10
+
+
+def test_bicubic_predictor_no_checkpoint(tree, tmp_path_factory):
+    out_dir = tmp_path_factory.mktemp("bicubic_out")
+    cfg = Cfg(
+        {
+            "main": {"saved_dir": str(out_dir)},
+            "dataset": {
+                "name": "AcdcSISRDataset",
+                "kwargs": {
+                    "data_dir": str(tree["imgs_dir"]),
+                    "downscale_factor": 4,
+                    "transforms": [
+                        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+                        {"name": "ToTensor"},
+                    ],
+                },
+            },
+            "dataloader": {
+                "name": "Dataloader",
+                "kwargs": {"batch_size": 1, "shuffle": False, "num_workers": 0},
+            },
+            "net": {"name": "Bicubic", "kwargs": {"upscale_factor": 4}},
+            "losses": [{"name": "L1Loss", "weight": 1.0}],
+            "metrics": [{"name": "PSNR"}, {"name": "SSIM"}],
+            "predictor": {
+                "name": "AcdcSISRPredictor",
+                "kwargs": {"device": "cpu", "saved_dir": str(out_dir), "exported": False},
+            },
+        }
+    )
+    predictor = run_test_config(cfg)
+    assert predictor.log["PSNR"] > 10  # bicubic on smooth synthetic data
