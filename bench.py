@@ -55,19 +55,24 @@ def bench_jax(iters: int = 10, warmup: int = 2) -> dict:
     lr, pos = _inputs()
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), lr, pos)
 
+    import jax.numpy as jnp
+
     @jax.jit
     def forward(v, lr, pos):
-        return model.apply(v, lr, pos)[-1]
+        out = model.apply(v, lr, pos)[-1]
+        # reduce to a scalar so timing fetches force real device completion
+        # (block_until_ready alone does not sync on remote/axon backends)
+        return out, jnp.sum(out)
 
     lr_d, pos_d = jax.device_put(lr), jax.device_put(pos)
-    out = forward(variables, lr_d, pos_d)
-    out.block_until_ready()
+    _, chk = forward(variables, lr_d, pos_d)
+    float(chk)
     for _ in range(warmup):
-        forward(variables, lr_d, pos_d).block_until_ready()
+        float(forward(variables, lr_d, pos_d)[1])
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        forward(variables, lr_d, pos_d).block_until_ready()
+        float(forward(variables, lr_d, pos_d)[1])
         times.append(time.perf_counter() - t0)
     sec = float(np.median(times))
     return {

@@ -106,6 +106,50 @@ class UpsampleBlock(nn.Module):
         return x
 
 
+class ConvTransposeTorch(nn.Module):
+    """Transposed conv with torch ``nn.ConvTranspose2d(k, s, p)`` semantics:
+    out = (in-1)·s − 2p + k.  Used by the back-projection blocks (SRFB/DRF/
+    RBPN deconvs) and FRVSR's upsampling tail.
+
+    Implemented as the mathematically-equivalent input-dilated conv with a
+    spatially-flipped kernel — one fused XLA conv, MXU-shaped.  The kernel
+    param is stored (kh, kw, in, out) so torch weights import via
+    ``transpose(2, 3, 0, 1)``.
+    """
+
+    features: int
+    kernel_size: int
+    strides: int
+    padding: int
+    in_features: int | None = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.strides, self.padding
+        in_ch = x.shape[-1]
+        # torch ConvTranspose default init uses fan_in = out_channels·k²
+        bound = 1.0 / math.sqrt(self.features * k * k)
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+            (k, k, in_ch, self.features),
+        )
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(kernel, axis=(0, 1)),
+            window_strides=(1, 1),
+            padding=[(k - 1 - p, k - 1 - p)] * 2,
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            fan_in = self.features * k * k
+            bias = self.param("bias", torch_conv_bias_init(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
 def param_count(params) -> int:
     return sum(p.size for p in jax.tree.leaves(params))
 

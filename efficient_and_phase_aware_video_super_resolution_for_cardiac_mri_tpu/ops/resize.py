@@ -36,9 +36,12 @@ def _cubic_kernel(x: np.ndarray, A: float = -0.75) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=256)
-def resize_matrix(in_size: int, out_size: int, align_corners: bool = False) -> np.ndarray:
-    """Dense (out_size, in_size) bicubic interpolation matrix (float32).
+def resize_matrix(
+    in_size: int, out_size: int, align_corners: bool = False, kind: str = "cubic"
+) -> np.ndarray:
+    """Dense (out_size, in_size) interpolation matrix (float32).
 
+    ``kind``: 'cubic' (Keys A=-0.75, 4 taps) or 'linear' (triangle, 2 taps).
     Out-of-range taps are clamped to the border (both torch and cv2 replicate
     edges), implemented by accumulating clamped-index weights.
     """
@@ -53,30 +56,53 @@ def resize_matrix(in_size: int, out_size: int, align_corners: bool = False) -> n
     base = np.floor(src).astype(np.int64)
     frac = src - base
     mat = np.zeros((out_size, in_size), dtype=np.float64)
-    for tap in range(-1, 3):
+    if kind == "cubic":
+        taps, kernel = range(-1, 3), _cubic_kernel
+    elif kind == "linear":
+        taps, kernel = range(0, 2), lambda x: np.maximum(0.0, 1.0 - np.abs(x))
+    else:
+        raise ValueError(f"Unknown resize kind {kind!r}.")
+    for tap in taps:
         idx = np.clip(base + tap, 0, in_size - 1)
-        w = _cubic_kernel(tap - frac)
+        w = kernel(tap - frac)
         np.add.at(mat, (np.arange(out_size), idx), w)
     return mat.astype(np.float32)
+
+
+def _resize(x, out_hw, align_corners, kind):
+    H, W = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    mh = jnp.asarray(resize_matrix(H, oh, align_corners, kind))
+    mw = jnp.asarray(resize_matrix(W, ow, align_corners, kind))
+    x = jnp.einsum("oh,...hwc->...owc", mh, x, precision="highest")
+    x = jnp.einsum("pw,...hwc->...hpc", mw, x, precision="highest")
+    return x
 
 
 def resize_bicubic(
     x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = False
 ) -> jnp.ndarray:
     """Bicubic-resize the (H, W) axes of a (..., H, W, C) array."""
-    H, W = x.shape[-3], x.shape[-2]
-    oh, ow = out_hw
-    mh = jnp.asarray(resize_matrix(H, oh, align_corners))
-    mw = jnp.asarray(resize_matrix(W, ow, align_corners))
-    x = jnp.einsum("oh,...hwc->...owc", mh, x, precision="highest")
-    x = jnp.einsum("pw,...hwc->...hpc", mw, x, precision="highest")
-    return x
+    return _resize(x, out_hw, align_corners, "cubic")
+
+
+def resize_bilinear(
+    x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = False
+) -> jnp.ndarray:
+    """torch ``F.interpolate(mode='bilinear')`` over (..., H, W, C)."""
+    return _resize(x, out_hw, align_corners, "linear")
 
 
 def upsample_bicubic(x: jnp.ndarray, scale_factor: int, align_corners: bool = True) -> jnp.ndarray:
     """torch ``nn.Upsample(mode='bicubic')`` over (..., H, W, C)."""
     H, W = x.shape[-3], x.shape[-2]
     return resize_bicubic(x, (H * scale_factor, W * scale_factor), align_corners)
+
+
+def upsample_bilinear(x: jnp.ndarray, scale_factor: int, align_corners: bool = False) -> jnp.ndarray:
+    """torch ``F.interpolate(mode='bilinear')`` with an integer scale factor."""
+    H, W = x.shape[-3], x.shape[-2]
+    return resize_bilinear(x, (H * scale_factor, W * scale_factor), align_corners)
 
 
 def resize_bicubic_np(x: np.ndarray, out_hw: tuple[int, int], align_corners: bool = False) -> np.ndarray:
