@@ -7,9 +7,39 @@ TOFlowNet), VSR (DRFNet, FRVSRNet, RefineNet).
 from ..config import NETS
 from .bicubic import Bicubic
 from .common import param_count, param_summary
+from .duf_net import DUFNet
+from .edsr_net import EDSRNet
+from .frvsr_net import FRVSRNet
+from .rbp_net import RBPNet
 from .refine_net import RefineNet
+from .srfb_net import DRFNet, DRFSISRNet, SRFBNet
+from .toflow_net import TOFlowNet
 
-NETS.add("RefineNet", RefineNet)
-NETS.add("Bicubic", Bicubic)
+for _net in [
+    Bicubic,
+    EDSRNet,
+    SRFBNet,
+    DRFSISRNet,
+    DUFNet,
+    RBPNet,
+    TOFlowNet,
+    DRFNet,
+    FRVSRNet,
+    RefineNet,
+]:
+    NETS.add(_net.__name__, _net)
 
-__all__ = ["RefineNet", "Bicubic", "param_count", "param_summary"]
+__all__ = [
+    "Bicubic",
+    "EDSRNet",
+    "SRFBNet",
+    "DRFSISRNet",
+    "DUFNet",
+    "RBPNet",
+    "TOFlowNet",
+    "DRFNet",
+    "FRVSRNet",
+    "RefineNet",
+    "param_count",
+    "param_summary",
+]

@@ -11,7 +11,7 @@ The conv/PReLU/upsample blocks every reference net composes
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -22,10 +22,15 @@ from ..ops.torch_init import torch_conv_bias_init, torch_conv_kernel_init
 
 
 def conv(features: int, kernel_size: int | tuple = 3, in_features: int | None = None,
-         strides: int = 1, name: str | None = None, use_bias: bool = True) -> nn.Conv:
-    """nn.Conv with torch-default init and SAME-style integer padding."""
+         strides: int = 1, padding: int | None = None, name: str | None = None,
+         use_bias: bool = True, kernel_init=None) -> nn.Conv:
+    """nn.Conv with torch-default init; ``padding`` defaults to k//2 (torch
+    'same' for odd kernels) and may be overridden (strided projections)."""
     ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) else tuple(kernel_size)
-    pad = tuple((k // 2, k // 2) for k in ks)
+    if padding is None:
+        pad = tuple((k // 2, k // 2) for k in ks)
+    else:
+        pad = tuple((padding, padding) for _ in ks)
     bias_init = nn.initializers.zeros
     if in_features is not None:
         fan_in = in_features * math.prod(ks)
@@ -35,7 +40,7 @@ def conv(features: int, kernel_size: int | tuple = 3, in_features: int | None = 
         ks,
         strides=(strides, strides) if isinstance(strides, int) else strides,
         padding=pad,
-        kernel_init=torch_conv_kernel_init,
+        kernel_init=kernel_init or torch_conv_kernel_init,
         bias_init=bias_init,
         use_bias=use_bias,
         name=name,
@@ -121,8 +126,10 @@ class ConvTransposeTorch(nn.Module):
     kernel_size: int
     strides: int
     padding: int
+    output_padding: int = 0
     in_features: int | None = None
     use_bias: bool = True
+    kernel_init: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -130,16 +137,17 @@ class ConvTransposeTorch(nn.Module):
         in_ch = x.shape[-1]
         # torch ConvTranspose default init uses fan_in = out_channels·k²
         bound = 1.0 / math.sqrt(self.features * k * k)
-        kernel = self.param(
-            "kernel",
-            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
-            (k, k, in_ch, self.features),
+        default_init = lambda key, shape: jax.random.uniform(  # noqa: E731
+            key, shape, jnp.float32, -bound, bound
         )
+        init = self.kernel_init if self.kernel_init is not None else default_init
+        kernel = self.param("kernel", init, (k, k, in_ch, self.features))
+        op = self.output_padding
         y = jax.lax.conv_general_dilated(
             x,
             jnp.flip(kernel, axis=(0, 1)),
             window_strides=(1, 1),
-            padding=[(k - 1 - p, k - 1 - p)] * 2,
+            padding=[(k - 1 - p, k - 1 - p + op)] * 2,
             lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
@@ -148,6 +156,17 @@ class ConvTransposeTorch(nn.Module):
             bias = self.param("bias", torch_conv_bias_init(fan_in), (self.features,))
             y = y + bias
         return y
+
+
+def batch_norm(train: bool, name: str | None = None) -> nn.BatchNorm:
+    """torch ``nn.BatchNorm{2,3}d`` semantics: eps 1e-5, running-stat momentum
+    0.1 (flax momentum = 0.9), affine.  Stats live in the ``batch_stats``
+    collection; under GSPMD data parallelism the batch reduction is global."""
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)
+
+
+#: torch ``nn.init.xavier_uniform_`` (gain 1) for conv kernels
+xavier_conv_init = nn.initializers.xavier_uniform()
 
 
 def param_count(params) -> int:

@@ -1,0 +1,170 @@
+"""FRVSR: frame-recurrent VSR (reference ``src/model/nets/frvsr_net.py``).
+
+Per frame: FNet (6-scale conv encoder/decoder, tanh flow) estimates LR flow
+from the previous LR frame; the flow is bilinearly upsampled (×r,
+align_corners=True), the previous SR output is warped through the STN
+(detached — replicated with stop_gradient), space-to-depth packed and fed
+with the current LR frame into SRNet (10 resblocks + two ×2 transposed-conv
+stages).  Also returns the warped LR frames for the flow loss.
+
+TPU redesign: the frame recurrence is an ``nn.scan`` over the time axis with
+carry (lr_last, sr_last) — one compiled step regardless of T.  All convs use
+Xavier-uniform init (reference ``frvsr_net.py:35-38``).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.pixel_shuffle import space_to_depth
+from ..ops.resize import resize_bilinear, upsample_bilinear
+from ..ops.warp import stn_warp
+from .common import ConvTransposeTorch, conv, xavier_conv_init
+
+_xconv = partial(conv, kernel_init=xavier_conv_init)
+
+
+class _ResBlock(nn.Module):
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        r = _xconv(self.features, 3, self.features, name="conv1")(x)
+        r = nn.relu(r)
+        r = _xconv(self.features, 3, self.features, name="conv2")(r)
+        return x + r
+
+
+class SRNet(nn.Module):
+    """Reference ``frvsr_net.py:65-95``."""
+
+    in_channels: int
+    out_channels: int
+    upscale_factor: int
+    num_resblocks: int = 10
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = self.in_channels * (self.upscale_factor**2 + 1)
+        x = _xconv(64, 3, c_in, name="head")(x)
+        x = nn.relu(x)
+        for i in range(self.num_resblocks):
+            x = _ResBlock(64, name=f"resblock{i}")(x)
+        for i in range(2):
+            x = ConvTransposeTorch(
+                64, 3, 2, 1, output_padding=1, kernel_init=xavier_conv_init,
+                name=f"deconv{i+1}",
+            )(x)
+            x = nn.relu(x)
+        return _xconv(self.out_channels, 3, 64, name="tail")(x)
+
+
+class FNet(nn.Module):
+    """6-scale flow estimator with tanh output (reference ``frvsr_net.py:110-166``).
+
+    Operates on /8-padded inputs; the pad uses the batch min value like the
+    reference's ``F.pad(value=x.min())``.
+    """
+
+    in_channels: int
+    out_channels: int = 2
+
+    @nn.compact
+    def __call__(self, a, b):
+        x = jnp.concatenate([a, b], axis=-1)
+        H, W = x.shape[-3], x.shape[-2]
+        dh, dw = (8 - H % 8) % 8, (8 - W % 8) % 8
+        if dh or dw:
+            pads = [(0, 0, 0), (dh // 2, dh - dh // 2, 0), (dw // 2, dw - dw // 2, 0), (0, 0, 0)]
+            x = jax.lax.pad(x, jnp.min(x).astype(x.dtype), pads)
+
+        f, c_in = 32, self.in_channels * 2
+        for i in range(3):
+            x = _xconv(f, 3, c_in, name=f"conv{i+1}_1")(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = _xconv(f, 3, f, name=f"conv{i+1}_2")(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = nn.max_pool(x, (2, 2), (2, 2))
+            c_in, f = f, f * 2
+        for i in range(3):
+            x = _xconv(f, 3, c_in, name=f"conv{i+4}_1")(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = _xconv(f, 3, f, name=f"conv{i+4}_2")(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = upsample_bilinear(x, 2, align_corners=False)
+            c_in, f = f, f // 2
+        x = _xconv(32, 3, c_in, name="tail_conv1")(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = _xconv(self.out_channels, 3, 32, name="tail_conv2")(x)
+        x = jnp.tanh(x)
+        if dh or dw:
+            x = x[:, dh // 2 : dh // 2 + H, dw // 2 : dw // 2 + W]
+        return x
+
+
+class FRVSRNet(nn.Module):
+    """Reference ``frvsr_net.py:11-62``.  Input (B, T, h, w, C); returns
+    (sr_seq, warped_lr_seq) or sr_seq alone when ``is_prediction``."""
+
+    in_channels: int
+    out_channels: int
+    upscale_factor: int
+    is_prediction: bool = False
+    num_resblocks: int = 10
+
+    def __post_init__(self):
+        super().__post_init__()
+        # SRNet's tail hardcodes two x2 transposed-conv stages
+        # (reference frvsr_net.py:84-88) — the reference is x4-only too.
+        if self.upscale_factor != 4:
+            raise ValueError(f"FRVSRNet supports upscale_factor=4 only. Got {self.upscale_factor}.")
+
+    @nn.compact
+    def __call__(self, lr_imgs: jnp.ndarray):
+        B, T, h, w, C = lr_imgs.shape
+        r = self.upscale_factor
+
+        scan = nn.scan(
+            _FRVSRStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )(self.in_channels, self.out_channels, r, self.num_resblocks, name="steps")
+        carry = (
+            lr_imgs[:, 0],
+            jnp.zeros((B, h * r, w * r, C), lr_imgs.dtype),
+        )
+        _, (sr_seq, warped_seq) = scan(carry, lr_imgs)
+        if self.is_prediction:
+            return sr_seq
+        return sr_seq, warped_seq
+
+
+class _FRVSRStep(nn.Module):
+    """One frame of FRVSR; carry = (lr_last, sr_last).  FNet/SRNet are created
+    here so nn.scan broadcasts their params over the time axis."""
+
+    in_channels: int
+    out_channels: int
+    upscale_factor: int
+    num_resblocks: int
+
+    @nn.compact
+    def __call__(self, carry, x):
+        r = self.upscale_factor
+        fnet = FNet(self.in_channels, 2, name="fnet")
+        srnet = SRNet(self.in_channels, self.out_channels, r, self.num_resblocks, name="srnet")
+        lr_last, sr_last = carry
+        lr_flow = fnet(lr_last, x)
+        sr_flow = upsample_bilinear(lr_flow, r, align_corners=True)
+        warped_sr = stn_warp(
+            jax.lax.stop_gradient(sr_last), sr_flow[..., 0], sr_flow[..., 1], "border"
+        )
+        packed = space_to_depth(warped_sr, r)
+        sr = srnet(jnp.concatenate([packed, x], axis=-1))
+        warped_lr = stn_warp(lr_last, lr_flow[..., 0], lr_flow[..., 1], "border")
+        return (x, sr), (sr, warped_lr)

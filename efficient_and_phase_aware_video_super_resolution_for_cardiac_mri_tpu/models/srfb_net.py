@@ -64,18 +64,12 @@ class _FBlock(nn.Module):
             hr_list.append(hr)
             cat_hr = jnp.concatenate(hr_list, axis=-1)
             if i == 0:
-                lo = nn.Conv(
-                    F, (k, k), strides=(s, s), padding=[(p, p), (p, p)],
-                    kernel_init=conv(F, k, F).kernel_init, name=f"down{i}_conv",
-                )(cat_hr)
+                lo = conv(F, k, F, strides=s, padding=p, name=f"down{i}_conv")(cat_hr)
                 lo = PReLU(name=f"down{i}_prelu")(lo)
             else:
                 lo = conv(F, 1, F * (i + 1), name=f"down{i}_conv1")(cat_hr)
                 lo = PReLU(name=f"down{i}_prelu1")(lo)
-                lo = nn.Conv(
-                    F, (k, k), strides=(s, s), padding=[(p, p), (p, p)],
-                    kernel_init=conv(F, k, F).kernel_init, name=f"down{i}_conv2",
-                )(lo)
+                lo = conv(F, k, F, strides=s, padding=p, name=f"down{i}_conv2")(lo)
                 lo = PReLU(name=f"down{i}_prelu2")(lo)
             lr_list.append(lo)
 
@@ -145,7 +139,7 @@ class DRFSISRNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
         outputs, hidden = [], None
-        lrf = _LRFBlock(self.in_channels, self.num_features, name="lrf_block")
+        lrf = _LRFBlock(self.in_channels, self.num_features, name="in_block")
         fb = _FBlock(self.num_features, self.num_groups, self.upscale_factor, name="f_block")
         out_block = _DRFOutBlock(self.num_features, self.out_channels, self.upscale_factor, name="out_block")
         for i in range(self.num_steps):
@@ -195,31 +189,48 @@ class DRFNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        lrf = _LRFBlock(self.in_channels, self.num_features, name="lrf_block")
-        fb = _FBlock(self.num_features, self.num_groups, self.upscale_factor, name="f_block")
-        out_block = _DRFOutBlock(self.num_features, self.out_channels, self.upscale_factor, name="out_block")
+        lrf = _LRFBlock(self.in_channels, self.num_features, name="in_block")
 
         # per-frame LR features in one folded conv, then scan the feedback carry
         feats = unfold_time(lrf(fold_time(x)[0]), (x.shape[0], x.shape[1]))
 
-        class _Step(nn.Module):
-            @nn.compact
-            def __call__(self_inner, carry, f):
-                hidden = jnp.where(carry["first"], f, carry["hidden"])
-                hidden = fb(f, hidden)
-                out = out_block(f + hidden)
-                return {"hidden": hidden, "first": jnp.zeros((), bool)}, out
-
         scan = nn.scan(
-            _Step,
+            _DRFStep,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
-        )(name="steps")
+        )(
+            self.num_features,
+            self.num_groups,
+            self.out_channels,
+            self.upscale_factor,
+            name="steps",
+        )
         carry = {
             "hidden": jnp.zeros_like(feats[:, 0]),
             "first": jnp.ones((), bool),
         }
         _, outputs = scan(carry, feats)
         return outputs
+
+
+class _DRFStep(nn.Module):
+    """One frame of DRFNet (feedback carry in, SR frame out).  Submodules are
+    created here so nn.scan broadcasts their params over time."""
+
+    num_features: int
+    num_groups: int
+    out_channels: int
+    upscale_factor: int
+
+    @nn.compact
+    def __call__(self, carry, f):
+        fb = _FBlock(self.num_features, self.num_groups, self.upscale_factor, name="f_block")
+        out_block = _DRFOutBlock(
+            self.num_features, self.out_channels, self.upscale_factor, name="out_block"
+        )
+        hidden = jnp.where(carry["first"], f, carry["hidden"])
+        hidden = fb(f, hidden)
+        out = out_block(f + hidden)
+        return {"hidden": hidden, "first": jnp.zeros((), bool)}, out

@@ -1,0 +1,123 @@
+"""TOFlow: task-oriented flow MISR (reference ``src/model/nets/toflow_net.py``).
+
+Bicubic-upscale all frames, SpyNet 4-level pyramid flow from each neighbor to
+the reference frame, bilinear warp, concat, 4-conv fusion + reference
+residual.  Input (B, T, h, w, C) → output (B, H, W, C).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize_bilinear, upsample_bicubic
+from ..ops.warp import flow_warp
+from .common import batch_norm, conv
+
+
+class SpyNetBlock(nn.Module):
+    """5 conv7×7 + BN + ReLU layers → 2-channel flow refinement
+    (reference ``toflow_net.py:95-113``)."""
+
+    in_channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        widths = [32, 64, 32, 16]
+        c_in = self.in_channels
+        for i, w in enumerate(widths):
+            x = conv(w, 7, c_in, name=f"conv{i+1}")(x)
+            x = batch_norm(train, name=f"bn{i+1}")(x)
+            x = nn.relu(x)
+            c_in = w
+        return conv(2, 7, c_in, name="conv5")(x)
+
+
+class SpyNet(nn.Module):
+    """Coarse-to-fine pyramid flow (reference ``toflow_net.py:70-92``)."""
+
+    in_channels: int
+
+    @nn.compact
+    def __call__(self, ref, nbr, train: bool = False):
+        B, H, W, C = ref.shape
+        refs, nbrs = [ref], [nbr]
+        for _ in range(3):
+            refs.insert(0, nn.avg_pool(refs[0], (2, 2), (2, 2)))
+            nbrs.insert(0, nn.avg_pool(nbrs[0], (2, 2), (2, 2)))
+        flow = jnp.zeros((B, H // 16, W // 16, 2), ref.dtype)
+        for i in range(4):
+            h, w = flow.shape[1] * 2, flow.shape[2] * 2
+            flow_up = resize_bilinear(flow, (h, w), align_corners=True) * 2.0
+            feats = jnp.concatenate(
+                [refs[i], flow_warp(nbrs[i], flow_up), flow_up], axis=-1
+            )
+            flow = flow_up + SpyNetBlock(self.in_channels, name=f"block{i}")(feats, train)
+        return flow
+
+
+def _pad_to_multiple(x, mult, axes=(-3, -2)):
+    """Pad spatial dims to a multiple with the array's min value (the
+    reference's ``F.pad(value=x.min())``).  Returns (padded, crop_slices)."""
+    pads = [(0, 0)] * x.ndim
+    crops = [slice(None)] * x.ndim
+    needed = False
+    for ax in axes:
+        size = x.shape[ax]
+        diff = (mult - size % mult) % mult
+        if diff:
+            needed = True
+            lo, hi = diff // 2, diff - diff // 2
+            pads[ax % x.ndim] = (lo, hi)
+            crops[ax % x.ndim] = slice(lo, lo + size)
+    if not needed:
+        return x, None
+    padded = jax.lax.pad(
+        x,
+        jnp.min(x).astype(x.dtype),
+        [(lo, hi, 0) for lo, hi in pads],
+    )
+    return padded, tuple(crops)
+
+
+class TOFlowNet(nn.Module):
+    """Reference ``toflow_net.py:8-67``."""
+
+    in_channels: int
+    out_channels: int
+    num_frames: int
+    upscale_factor: int
+
+    @nn.compact
+    def __call__(self, lr_imgs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        T = self.num_frames
+        ref_idx = T // 2 if T % 2 == 1 else T // 2 - 1
+        x = upsample_bicubic(lr_imgs, self.upscale_factor, align_corners=False)
+        x, crops = _pad_to_multiple(x, 16, axes=(-3, -2))
+        x_ref = x[:, ref_idx]
+
+        spy = SpyNet(2 * self.in_channels + 2, name="spy_net")
+        warped = []
+        for i in range(T):
+            if i == ref_idx:
+                warped.append(x_ref)
+            else:
+                nbr = x[:, i]
+                flow = spy(x_ref, nbr, train)
+                warped.append(flow_warp(nbr, flow))
+        # frame-major channel concat == the reference's view(B, T*C, H, W)
+        fused = jnp.concatenate(warped, axis=-1)
+
+        C = self.in_channels
+        y = conv(64, 9, C * T, name="out_conv1")(fused)
+        y = nn.relu(y)
+        y = conv(64, 9, 64, name="out_conv2")(y)
+        y = nn.relu(y)
+        y = conv(64, 1, 64, name="out_conv3")(y)
+        y = nn.relu(y)
+        y = conv(self.out_channels, 1, 64, name="out_conv4")(y)
+        out = y + x_ref
+        if crops is not None:
+            # crops were built for (B, T, H, W, C); out is (B, H, W, C)
+            out = out[(crops[0], crops[2], crops[3], crops[4])]
+        return out

@@ -23,11 +23,13 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path, *, params, opt_state=None, lr_scheduler_state=None,
-                    monitor_state=None, epoch=None, seed_state=None) -> None:
+def save_checkpoint(path, *, params, model_state=None, opt_state=None,
+                    lr_scheduler_state=None, monitor_state=None, epoch=None,
+                    seed_state=None) -> None:
     payload = {
         "format": "evsr_tpu.v1",
         "net": _to_numpy(params),
+        "model_state": _to_numpy(model_state) if model_state else None,
         "optimizer": _to_numpy(opt_state) if opt_state is not None else None,
         "lr_scheduler": lr_scheduler_state,
         "monitor": monitor_state,
@@ -52,15 +54,23 @@ def load_checkpoint(path) -> dict:
         return pickle.load(f)
 
 
-def load_net_params(path, model_name: str | None = None) -> dict:
-    """Load net params from either our checkpoint or a reference torch .pth."""
+def load_net_variables(path, model_name: str | None = None) -> dict:
+    """Load net variables ({'params': ..., maybe 'batch_stats': ...}) from
+    either our checkpoint or a genuine PyTorch reference ``.pth``."""
     path = Path(path)
     if _is_torch_zipfile(path):
-        from ..utils.torch_import import load_torch_checkpoint, params_from_torch_state_dict
+        from ..utils.torch_import import load_torch_checkpoint, variables_from_torch_state_dict
 
         if model_name is None:
             raise ValueError("model_name is required to import a torch checkpoint.")
         state = load_torch_checkpoint(path)
-        return params_from_torch_state_dict(model_name, state)
+        return variables_from_torch_state_dict(model_name, state)
     ckpt = load_checkpoint(path)
-    return ckpt["net"]
+    variables = {"params": ckpt["net"]}
+    if ckpt.get("model_state"):
+        variables.update(ckpt["model_state"])
+    return variables
+
+
+def load_net_params(path, model_name: str | None = None) -> dict:
+    return load_net_variables(path, model_name)["params"]

@@ -16,6 +16,7 @@ TPU design notes:
 from __future__ import annotations
 
 import csv
+import inspect
 import logging
 from pathlib import Path
 
@@ -83,6 +84,11 @@ class BasePredictor:
             self.dataset_stats = dataset_stats
         self.mean, self.std = get_stats(self.dataset_stats)
         self.params = None
+        self.model_state = {}
+        self._accepts_train = (
+            net is not None
+            and "train" in inspect.signature(type(net).__call__).parameters
+        )
         self._step = None
         self.log = None
         self.throughput = {"frames_per_sec": 0.0, "frames": 0}
@@ -117,9 +123,11 @@ class BasePredictor:
         apply_fn = self.net.apply
         weights = jnp.asarray(self.loss_weights)
 
+        kwargs = {"train": False} if self._accepts_train else {}
+
         @jax.jit
-        def step(params, batch, masks):
-            outputs = apply_fn({"params": params}, *self._model_inputs(batch))
+        def step(params, state, batch, masks):
+            outputs = apply_fn({"params": params, **state}, *self._model_inputs(batch), **kwargs)
             out = self._select_output(outputs)
             target = self._targets(batch)
             losses = self._frame_losses(out, target)  # (T, n_loss) or (1, n_loss)
@@ -182,7 +190,9 @@ class BasePredictor:
             device_batch = jax.tree.map(jnp.asarray, batch)
             target = self._targets(batch)
             masks = self._metric_masks(patient, target.shape[-3:-1])
-            total, losses, metrics, out_d = self._step(self.params, device_batch, masks)
+            total, losses, metrics, out_d = self._step(
+                self.params, self.model_state, device_batch, masks
+            )
             losses, metrics = np.asarray(losses), np.asarray(metrics)
             T = losses.shape[0]
             frames += T
@@ -215,8 +225,10 @@ class BasePredictor:
     def load(self, path):
         """Restore net weights only (reference ``base_predictor.py:130-136``);
         also accepts genuine PyTorch .pth checkpoints."""
-        params = ckpt_io.load_net_params(path, type(self.net).__name__)
-        self.params = jax.tree.map(jnp.asarray, params)
+        variables = ckpt_io.load_net_variables(path, type(self.net).__name__)
+        variables = dict(variables)
+        self.params = jax.tree.map(jnp.asarray, variables.pop("params", {}))
+        self.model_state = jax.tree.map(jnp.asarray, variables)
 
     def init_params_like(self, batch, rng_key=None):
         """Fresh init (used for Bicubic / tests without a checkpoint)."""
@@ -224,8 +236,10 @@ class BasePredictor:
 
         key = rng_key if rng_key is not None else jr.PRNGKey(0)
         inputs = jax.tree.map(lambda x: jnp.asarray(x), self._model_inputs(batch))
-        variables = self.net.init(key, *inputs)
-        self.params = variables["params"] if "params" in variables else {}
+        kwargs = {"train": False} if self._accepts_train else {}
+        variables = dict(self.net.init(key, *inputs, **kwargs))
+        self.params = variables.pop("params", {})
+        self.model_state = variables
 
 
 class SISRPredictor(BasePredictor):

@@ -18,6 +18,7 @@ copies into one class parameterized by dataset stats.
 """
 from __future__ import annotations
 
+import inspect
 import logging
 import time
 from functools import partial
@@ -91,6 +92,11 @@ class BaseTrainer:
 
         self.params = None
         self.opt_state = None
+        self.model_state = {}  # extra collections (e.g. batch_stats for BN nets)
+        self._accepts_train = (
+            net is not None
+            and "train" in inspect.signature(type(net).__call__).parameters
+        )
         self._train_step = None
         self._eval_step = None
         self.throughput = {"train_steps_per_sec": 0.0, "frames_per_sec": 0.0}
@@ -127,8 +133,11 @@ class BaseTrainer:
             return
         key = rng_key if rng_key is not None else self.seed_state.jax_key()
         inputs = jax.tree.map(lambda x: jnp.asarray(x), self._model_inputs(batch))
-        variables = self.net.init(key, *inputs)
-        self.params = variables["params"] if "params" in variables else {}
+        kwargs = {"train": False} if self._accepts_train else {}
+        variables = self.net.init(key, *inputs, **kwargs)
+        variables = dict(variables)
+        self.params = variables.pop("params", {})
+        self.model_state = variables
         if self.optimizer is not None:
             self.opt_state = self.optimizer.init(self.params)
 
@@ -138,25 +147,35 @@ class BaseTrainer:
         weights = jnp.asarray(self.loss_weights)
         apply_fn = self.net.apply
 
-        def forward_losses(params, batch, training):
-            outputs = apply_fn({"params": params}, *self._model_inputs(batch))
+        accepts_train = self._accepts_train
+
+        def forward_losses(params, state, batch, training):
+            variables = {"params": params, **state}
+            kwargs = {"train": training} if accepts_train else {}
+            if state and training:
+                outputs, new_state = apply_fn(
+                    variables, *self._model_inputs(batch), mutable=list(state.keys()), **kwargs
+                )
+            else:
+                outputs = apply_fn(variables, *self._model_inputs(batch), **kwargs)
+                new_state = state
             losses = self._compute_losses(outputs, batch, training)
             total = jnp.sum(jnp.stack(losses) * weights)
-            return total, (losses, outputs)
+            return total, (losses, outputs, new_state)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch):
-            (total, (losses, outputs)), grads = jax.value_and_grad(
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(params, opt_state, state, batch):
+            (total, (losses, outputs, state)), grads = jax.value_and_grad(
                 forward_losses, has_aux=True
-            )(params, batch, True)
+            )(params, state, batch, True)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics = self._compute_metrics(outputs, batch)
-            return params, opt_state, total, losses, metrics, self._display_outputs(outputs)
+            return params, opt_state, state, total, losses, metrics, self._display_outputs(outputs)
 
         @jax.jit
-        def eval_step(params, batch):
-            total, (losses, outputs) = forward_losses(params, batch, False)
+        def eval_step(params, state, batch):
+            total, (losses, outputs, _) = forward_losses(params, state, batch, False)
             metrics = self._compute_metrics(outputs, batch)
             return total, losses, metrics, self._display_outputs(outputs)
 
@@ -190,11 +209,19 @@ class BaseTrainer:
                 self.init_params(device_batch)
             self._build_steps()  # no-op once built
             if mode == "training":
-                self.params, self.opt_state, total, losses, metrics, outputs = self._train_step(
-                    self.params, self.opt_state, device_batch
-                )
+                (
+                    self.params,
+                    self.opt_state,
+                    self.model_state,
+                    total,
+                    losses,
+                    metrics,
+                    outputs,
+                ) = self._train_step(self.params, self.opt_state, self.model_state, device_batch)
             else:
-                total, losses, metrics, outputs = self._eval_step(self.params, device_batch)
+                total, losses, metrics, outputs = self._eval_step(
+                    self.params, self.model_state, device_batch
+                )
             weight = self._log_weight(batch, mode)
             self._update_log(log, weight, total, losses, metrics)
             count += weight
@@ -263,6 +290,7 @@ class BaseTrainer:
         ckpt_io.save_checkpoint(
             path,
             params=self.params,
+            model_state=self.model_state,
             opt_state=self.opt_state,
             lr_scheduler_state=self.lr_scheduler.state_dict() if self.lr_scheduler else None,
             monitor_state=self.monitor.state_dict() if self.monitor else None,
@@ -273,6 +301,8 @@ class BaseTrainer:
     def load(self, path):
         ckpt = ckpt_io.load_checkpoint(path)
         self.params = jax.tree.map(jnp.asarray, ckpt["net"])
+        if ckpt.get("model_state"):
+            self.model_state = jax.tree.map(jnp.asarray, ckpt["model_state"])
         if ckpt.get("optimizer") is not None:
             self.opt_state = jax.tree.map(
                 lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, ckpt["optimizer"]

@@ -1,0 +1,155 @@
+"""Shape/smoke + gradient-flow tests for every net in the zoo."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import models as M
+
+B, H, W, R = 2, 16, 16, 4
+
+
+def _lr(shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+def _init_and_run(model, *inputs, train_kwarg=False):
+    kwargs = {"train": False} if train_kwarg else {}
+    variables = model.init(jax.random.PRNGKey(0), *inputs, **kwargs)
+    out = model.apply(variables, *inputs, **kwargs)
+    return variables, out
+
+
+def test_bicubic_shapes():
+    model = M.Bicubic(upscale_factor=4)
+    _, out = _init_and_run(model, _lr((B, H, W, 1)))
+    assert out.shape == (B, H * 4, W * 4, 1)
+
+
+def test_edsr_shapes():
+    model = M.EDSRNet(1, 1, num_resblocks=2, num_features=8, upscale_factor=4)
+    variables, out = _init_and_run(model, _lr((B, H, W, 1)))
+    assert out.shape == (B, H * 4, W * 4, 1)
+
+
+@pytest.mark.parametrize("r", [2, 3, 4])
+def test_edsr_factors(r):
+    model = M.EDSRNet(1, 1, num_resblocks=1, num_features=4, upscale_factor=r)
+    _, out = _init_and_run(model, _lr((1, 8, 8, 1)))
+    assert out.shape == (1, 8 * r, 8 * r, 1)
+
+
+def test_srfb_shapes():
+    model = M.SRFBNet(1, 1, num_steps=2, num_features=8, num_groups=2, upscale_factor=4)
+    _, outs = _init_and_run(model, _lr((B, H, W, 1)))
+    assert len(outs) == 2
+    assert outs[-1].shape == (B, H * 4, W * 4, 1)
+
+
+def test_drf_sisr_shapes():
+    model = M.DRFSISRNet(1, 1, num_steps=2, num_features=8, num_groups=2, upscale_factor=4)
+    _, outs = _init_and_run(model, _lr((B, H, W, 1)))
+    assert len(outs) == 2
+    assert outs[-1].shape == (B, H * 4, W * 4, 1)
+
+
+def test_drf_net_shapes():
+    model = M.DRFNet(1, 1, num_features=8, num_groups=2, upscale_factor=4)
+    _, out = _init_and_run(model, _lr((B, 5, H, W, 1)))
+    assert out.shape == (B, 5, H * 4, W * 4, 1)
+
+
+def test_drf_net_scan_matches_unrolled_semantics():
+    """Frame 0 of DRFNet must equal DRFSISRNet's first step (hidden reset)."""
+    video = M.DRFNet(1, 1, num_features=8, num_groups=2, upscale_factor=4)
+    x = _lr((1, 3, H, W, 1))
+    variables, out = _init_and_run(video, x)
+    sisr = M.DRFSISRNet(1, 1, num_steps=1, num_features=8, num_groups=2, upscale_factor=4)
+    # graft video params into the sisr tree (names: in_block / steps.f_block / steps.out_block)
+    p = variables["params"]
+    sisr_params = {
+        "params": {
+            "in_block": p["in_block"],
+            "f_block": p["steps"]["f_block"],
+            "out_block": p["steps"]["out_block"],
+        }
+    }
+    out0 = sisr.apply(sisr_params, x[:, 0])[-1]
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(out0), atol=1e-5)
+
+
+def test_duf_shapes():
+    model = M.DUFNet(1, 1, num_frames=7, size_filter=5, upscale_factor=4, backbone="_DenseLayer16")
+    variables, out = _init_and_run(model, _lr((1, 7, H, W, 1)), train_kwarg=True)
+    assert out.shape == (1, H * 4, W * 4, 1)
+    assert "batch_stats" in variables
+
+
+def test_duf_train_mode_updates_stats():
+    model = M.DUFNet(1, 1, num_frames=7, size_filter=5, upscale_factor=4, backbone="_DenseLayer16")
+    x = _lr((1, 7, H, W, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_toflow_shapes():
+    model = M.TOFlowNet(1, 1, num_frames=3, upscale_factor=4)
+    _, out = _init_and_run(model, _lr((1, 3, 12, 12, 1)), train_kwarg=True)
+    assert out.shape == (1, 48, 48, 1)
+
+
+def test_frvsr_shapes_and_branches():
+    model = M.FRVSRNet(1, 1, upscale_factor=4, num_resblocks=2)
+    _, out = _init_and_run(model, _lr((1, 3, H, W, 1)))
+    sr, warped = out
+    assert sr.shape == (1, 3, H * 4, W * 4, 1)
+    assert warped.shape == (1, 3, H, W, 1)
+
+
+def test_frvsr_sr_gradient_blocked_through_warp():
+    """The previous SR frame is detached before warping (ref frvsr_net.py:49)."""
+    model = M.FRVSRNet(1, 1, upscale_factor=4, num_resblocks=1)
+    x = _lr((1, 2, 8, 8, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(v):
+        sr, _ = model.apply(v, x)
+        return jnp.sum(sr)
+
+    g = jax.grad(loss)(variables)
+    assert all(np.all(np.isfinite(leaf)) for leaf in jax.tree.leaves(g))
+
+
+def test_rbp_shapes():
+    model = M.RBPNet(
+        1, 1, base_filter=8, feat=8, num_stages=3, num_resblocks=2, num_frames=3, upscale_factor=4
+    )
+    _, out = _init_and_run(model, _lr((1, 3, H, W, 1)))
+    assert out.shape == (1, H * 4, W * 4, 1)
+
+
+def test_refine_net_registered_and_all_names():
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import NETS
+
+    for name in [
+        "Bicubic", "EDSRNet", "SRFBNet", "DRFSISRNet", "DUFNet",
+        "RBPNet", "TOFlowNet", "DRFNet", "FRVSRNet", "RefineNet",
+    ]:
+        assert name in NETS
+
+
+def test_gradients_flow_everywhere_edsr():
+    model = M.EDSRNet(1, 1, num_resblocks=2, num_features=8, upscale_factor=2)
+    x = _lr((1, 8, 8, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(v):
+        return jnp.mean(jnp.square(model.apply(v, x)))
+
+    g = jax.grad(loss)(variables)
+    for leaf in jax.tree.leaves(g):
+        assert np.any(np.asarray(leaf) != 0)
