@@ -8,6 +8,7 @@ from ..config import NETS
 from .bicubic import Bicubic
 from .common import param_count, param_summary
 from .duf_net import DUFNet
+from .edvr_net import EDVRNet
 from .edsr_net import EDSRNet
 from .frvsr_net import FRVSRNet
 from .rbp_net import RBPNet
@@ -17,6 +18,7 @@ from .toflow_net import TOFlowNet
 
 for _net in [
     Bicubic,
+    EDVRNet,
     EDSRNet,
     SRFBNet,
     DRFSISRNet,
@@ -31,6 +33,7 @@ for _net in [
 
 __all__ = [
     "Bicubic",
+    "EDVRNet",
     "EDSRNet",
     "SRFBNet",
     "DRFSISRNet",

@@ -1,0 +1,128 @@
+"""Deformable conv correctness (property tests — the reference's CUDA
+extension cannot run here, so semantics are verified against identities)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+    EDVRNet,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.ops.deform_conv import (
+    deform_conv2d,
+)
+
+B, H, W, Cin, Cout, K = 2, 10, 9, 4, 6, 3
+
+
+def _data(seed=0, dg=1):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((B, H, W, Cin)).astype(np.float32)
+    w = rng.standard_normal((K, K, Cin, Cout)).astype(np.float32)
+    offset = np.zeros((B, H, W, 2 * dg * K * K), np.float32)
+    mask = np.ones((B, H, W, dg * K * K), np.float32)
+    return x, w, offset, mask
+
+
+def _regular_conv(x, w, padding=1):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(padding, padding)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def test_zero_offset_unit_mask_equals_regular_conv():
+    x, w, offset, mask = _data()
+    got = deform_conv2d(x, offset, w, mask=mask, padding=1)
+    want = _regular_conv(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_zero_offset_multiple_deformable_groups():
+    x, w, offset, mask = _data(dg=2)
+    got = deform_conv2d(x, offset, w, mask=mask, padding=1, deformable_groups=2)
+    want = _regular_conv(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_integer_offset_equals_shifted_conv():
+    """Offset (+1, 0) on every tap == conv over the input shifted up by 1."""
+    x, w, offset, mask = _data(seed=1)
+    offset = offset.copy()
+    offset[..., 0::2] = 1.0  # all y offsets +1
+    got = deform_conv2d(x, offset, w, mask=mask, padding=1)
+    x_shift = np.concatenate([x[:, 1:], np.zeros_like(x[:, :1])], axis=1)
+    want = _regular_conv(x_shift, w)
+    # interior only: at row 0 the shifted input's zero-padding hides x[0]
+    # that the deformable sampler still sees
+    np.testing.assert_allclose(
+        np.asarray(got)[:, 1:], np.asarray(want)[:, 1:], atol=1e-4, rtol=1e-4
+    )
+
+
+def test_mask_scales_linearly():
+    x, w, offset, mask = _data(seed=2)
+    full = deform_conv2d(x, offset, w, mask=mask, padding=1)
+    half = deform_conv2d(x, offset, w, mask=0.5 * mask, padding=1)
+    np.testing.assert_allclose(np.asarray(half), 0.5 * np.asarray(full), atol=1e-5)
+
+
+def test_fractional_offset_interpolates():
+    x, w, offset, mask = _data(seed=3)
+    offset_half = offset.copy()
+    offset_half[..., 0::2] = 0.5
+    offset_one = offset.copy()
+    offset_one[..., 0::2] = 1.0
+    y0 = np.asarray(deform_conv2d(x, offset, w, mask=mask, padding=1))
+    y1 = np.asarray(deform_conv2d(x, offset_one, w, mask=mask, padding=1))
+    yh = np.asarray(deform_conv2d(x, offset_half, w, mask=mask, padding=1))
+    # bilinear in y: interior values are exactly the average
+    np.testing.assert_allclose(yh[:, 2:-2], (y0[:, 2:-2] + y1[:, 2:-2]) / 2, atol=1e-4, rtol=1e-3)
+
+
+def test_deform_conv_differentiable():
+    x, w, offset, mask = _data(seed=4)
+    offset = offset + 0.1
+
+    def loss(w_, off_):
+        return jnp.sum(deform_conv2d(x, off_, w_, mask=mask, padding=1) ** 2)
+
+    gw, goff = jax.grad(loss, argnums=(0, 1))(jnp.asarray(w), jnp.asarray(offset))
+    assert np.all(np.isfinite(gw)) and np.all(np.isfinite(goff))
+    assert np.any(np.asarray(goff) != 0)  # gradients flow to offsets (the point of DCN)
+
+
+def test_edvr_shapes():
+    model = EDVRNet(1, 1, nf=8, nframes=3, groups=2, front_RBs=1, back_RBs=1)
+    lr = np.random.default_rng(5).standard_normal((1, 3, 12, 12, 1)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), lr)
+    out = model.apply(variables, lr)
+    assert out.shape == (1, 48, 48, 1)
+
+
+def test_edvr_pad_path():
+    model = EDVRNet(1, 1, nf=8, nframes=3, groups=2, front_RBs=1, back_RBs=1)
+    lr = np.random.default_rng(6).standard_normal((1, 3, 10, 11, 1)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), lr)
+    out = model.apply(variables, lr)
+    assert out.shape == (1, 40, 44, 1)
+
+
+def test_edvr_init_dcn_is_half_identity_conv():
+    """conv_offset_mask is zero-initialized → offsets 0, mask sigmoid(0)=0.5,
+    so at init the DCN equals 0.5 x a regular conv (reference init_offset,
+    deform_conv.py:270-272)."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models.edvr_net import (
+        DCNPack,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 8, 8, 8)).astype(np.float32)
+    feats = rng.standard_normal((1, 8, 8, 8)).astype(np.float32)
+    m = DCNPack(nf=8, deformable_groups=2)
+    variables = m.init(jax.random.PRNGKey(1), x, feats)
+    got = m.apply(variables, x, feats)
+    w = variables["params"]["weight"]
+    b = variables["params"]["bias"]
+    want = 0.5 * np.asarray(_regular_conv(x, w)) + np.asarray(b)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
