@@ -45,12 +45,18 @@ def _import_components():
 
 
 def resolve_device(device_str: str | None):
-    """Map the reference's ``'cuda:0'`` strings to the JAX backend."""
+    """Map the reference's ``'cuda:0'`` strings to the JAX backend.
+
+    ``device: 'cpu'`` configs actually pin jax to CPU (the environment's TPU
+    plugin self-registers, so the config must override it explicitly —
+    BASELINE config #1 demands CPU inference).
+    """
     import jax
 
-    platforms = {d.platform for d in jax.devices()}
     if device_str and device_str.startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
         return "cpu"
+    platforms = {d.platform for d in jax.devices()}
     return "tpu" if ("tpu" in platforms or "axon" in platforms) else next(iter(platforms))
 
 
@@ -82,6 +88,9 @@ def train_from_config(cfg: Cfg):
     saved_dir = Path(cfg.main.saved_dir)
     saved_dir.mkdir(parents=True, exist_ok=True)
     cfg.to_yaml(saved_dir / "config.yaml")
+
+    # pin the backend before anything touches jax
+    device = resolve_device((cfg.trainer.get("kwargs") or {}).get("device"))
 
     num_epochs = cfg.trainer.kwargs.get("num_epochs", 1)
     seed_state = seed_everything(cfg.main.get("random_seed", "vsr"), num_epochs)
@@ -122,7 +131,7 @@ def train_from_config(cfg: Cfg):
 
     logger.info("Create the trainer.")
     trainer_kwargs = dict(cfg.trainer.get("kwargs") or {})
-    trainer_kwargs["device"] = resolve_device(trainer_kwargs.get("device"))
+    trainer_kwargs["device"] = device
     trainer = TRAINERS.get(cfg.trainer.name)(
         train_dataloader=train_loader,
         valid_dataloader=valid_loader,
@@ -158,6 +167,8 @@ def test_from_config(cfg: Cfg):
     saved_dir.mkdir(parents=True, exist_ok=True)
     cfg.to_yaml(saved_dir / "config.yaml")
 
+    device = resolve_device((cfg.predictor.get("kwargs") or {}).get("device"))
+
     logger.info("Create the testing dataset and dataloader.")
     data_dir = Path(cfg.dataset.kwargs.data_dir)
     test_ds = DATASETS.build(cfg.dataset, data_dir=data_dir, type="test")
@@ -176,7 +187,7 @@ def test_from_config(cfg: Cfg):
 
     logger.info("Create the predictor.")
     pred_kwargs = dict(cfg.predictor.get("kwargs") or {})
-    pred_kwargs["device"] = resolve_device(pred_kwargs.get("device"))
+    pred_kwargs["device"] = device
     predictor = PREDICTORS.get(cfg.predictor.name)(
         test_dataloader=test_loader,
         net=net,
