@@ -49,11 +49,23 @@ class _VolumeCache:
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
-        data = np.asarray(nifti.load(path).get_data())
+        data = _read_volume(path)
         self._cache[key] = data
         if len(self._cache) > self.capacity:
             self._cache.popitem(last=False)
         return data
+
+
+def _read_volume(path) -> np.ndarray:
+    """Cache-miss path: the native GIL-free decoder when built, else python."""
+    import os
+
+    if os.environ.get("EVSR_NO_NATIVE_IO") != "1":
+        from ..utils import native_io
+
+        if native_io.available():
+            return native_io.load_volume(path)
+    return np.asarray(nifti.load(path).get_data())
 
 
 _VOLUMES = _VolumeCache()

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 
 from .common import InBlock, PReLU, UpsampleBlock, conv, fold_time, sg, unfold_time
 
-
 class ConvLSTMStep(nn.Module):
     """One timestep of the stacked ConvLSTM (all layers).
 
@@ -66,7 +65,6 @@ class ConvLSTMStep(nn.Module):
             in_dim = hd
         return tuple(new_carry), inp
 
-
 def _zero_carry(batch, height, width, hidden_dims, dtype):
     return tuple(
         (
@@ -75,7 +73,6 @@ def _zero_carry(batch, height, width, hidden_dims, dtype):
         )
         for hd in hidden_dims
     )
-
 
 class ConvLSTM(nn.Module):
     """Stacked ConvLSTM scanned over time, with no-grad warm-up segments.
@@ -111,6 +108,46 @@ class ConvLSTM(nn.Module):
         carry, h_suf = scan(carry, xs[:, T - U :])
         return jnp.concatenate([h_pre, h_core, sg(h_suf)], axis=1)
 
+class _WindowConv(nn.Module):
+    """Sliding-window-over-time conv, stored with the reference's 2D layout.
+
+    Mathematically identical to "concat `window` frames frame-major on
+    channels, then Conv2d" (reference ``refine_net.py:176-180``) but executed
+    as a 3D conv with kernel (window, ks, ks), VALID over time — no window-
+    times-larger intermediate.  The param keeps shape (ks, ks, window·C, out)
+    so imported torch weights need no re-layout; it is viewed depth-major at
+    call time.
+    """
+
+    features: int
+    window: int
+    kernel_size: int
+    in_channels: int  # = window · C
+
+    @nn.compact
+    def __call__(self, feats):  # (B, T, H, W, C)
+
+        from ..ops.torch_init import torch_conv_bias_init, torch_conv_kernel_init
+
+        ks, W = self.kernel_size, self.window
+        C = self.in_channels // W
+        kernel2d = self.param(
+            "kernel", torch_conv_kernel_init, (ks, ks, self.in_channels, self.features)
+        )
+        bias = self.param(
+            "bias", torch_conv_bias_init(self.in_channels * ks * ks), (self.features,)
+        )
+        # (ks, ks, W·C, out) → (W, ks, ks, C, out): channel index = d·C + c
+        kernel3d = kernel2d.reshape(ks, ks, W, C, self.features).transpose(2, 0, 1, 3, 4)
+        pad = ks // 2
+        out = jax.lax.conv_general_dilated(
+            feats,
+            kernel3d,
+            window_strides=(1, 1, 1),
+            padding=[(0, 0), (pad, pad), (pad, pad)],  # VALID over time
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return out + bias
 
 class RefineBlock(nn.Module):
     """Sliding-window fusion of [fwd_h ‖ bwd_h ‖ pos_code]
@@ -138,17 +175,22 @@ class RefineBlock(nn.Module):
             feats = jnp.concatenate([fwd_h, bwd_h], axis=-1)
         C = feats.shape[-1]
         K = T - self.window + 1  # number of windows; center of window k is k+half
-
-        # Frame-major channel concat of the window (reference :176-177 order).
-        win = jnp.concatenate([feats[:, i : i + K] for i in range(self.window)], axis=-1)
-        x, spec = fold_time(win)
         in_ch = self.window * C
+
+        # The reference concatenates the window frame-major on channels and
+        # runs a 2D conv (:176-177).  That concat would materialize a
+        # window-times-larger tensor per stage; the identical computation is
+        # ONE 3D conv with kernel (window, kh, kw), VALID over time.  The
+        # stored kernel keeps the reference's (kh, kw, window·C, out) layout
+        # (frame-major channels ≡ depth-major) so torch weights import
+        # unchanged — see _WindowConv.
         if self.positional_encoding:
-            x = conv(in_ch // self.window, 3, in_ch, name="conv1")(x)
+            x = _WindowConv(in_ch // self.window, self.window, 3, in_ch, name="conv1")(feats)
+            x, spec = fold_time(x)
             x = conv(self.num_features, 3, in_ch // self.window, name="conv2")(x)
+            maps = unfold_time(x, spec)  # (B, K, H, W, F)
         else:
-            x = conv(self.num_features, 1, in_ch, name="conv1")(x)
-        maps = unfold_time(x, spec)  # (B, K, H, W, F)
+            maps = _WindowConv(self.num_features, self.window, 1, in_ch, name="conv1")(feats)
 
         # no-grad windows: gradient only where U <= center < T - U (ref :179-183)
         k_lo = max(0, U - half)
@@ -158,7 +200,6 @@ class RefineBlock(nn.Module):
                 [sg(maps[:, :k_lo]), maps[:, k_lo:k_hi], sg(maps[:, k_hi:])], axis=1
             )
         return maps
-
 
 class RefineNet(nn.Module):
     """Phase-aware multi-stage bidirectional ConvLSTM VSR

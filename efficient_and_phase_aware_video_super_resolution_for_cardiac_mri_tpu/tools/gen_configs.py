@@ -1,0 +1,258 @@
+"""Generate the experiment config zoo under ``configs/``.
+
+Reproduces the reference's experiment grid (``/root/reference/configs``:
+7 model families × train/test × factors × ACDC + DSB15-external) with this
+repo's data layout conventions.  Paths are rooted at ``--data-root`` (default
+``./data``) so the whole zoo regenerates for any data location:
+
+    python -m <pkg>.tools.gen_configs [--data-root ./data] [--out configs]
+
+Train hyperparameters follow the reference configs (e.g. RefineNet x4: Adam
+1e-4, L1, batch 16, 32×32 LR patches, 7+2·6 frames, 3 stages, 1000 epochs).
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import yaml
+
+ACDC_STATS = {"means": [54.089], "stds": [48.084]}
+FACTORS = (2, 3, 4)
+
+
+def _transforms():
+    return [
+        {"name": "Normalize", "kwargs": dict(ACDC_STATS)},
+        {"name": "ToTensor"},
+    ]
+
+
+def _augments(factor):
+    return [
+        {"name": "RandomHorizontalFlip"},
+        {"name": "RandomVerticalFlip"},
+        {"name": "RandomCropPatch", "kwargs": {"size": [32, 32], "ratio": factor}},
+    ]
+
+
+# (family, workload, net kwargs fn, train specifics)
+def _families(factor):
+    return {
+        "edsr_net": dict(
+            workload="SISR",
+            net=("EDSRNet", {"in_channels": 1, "out_channels": 1, "num_resblocks": 32,
+                             "num_features": 256, "upscale_factor": factor, "res_scale": 0.1}),
+            losses=[{"name": "L1Loss", "weight": 1.0}],
+            lr=1e-4, wd=0, batch=16, dataset_extra={},
+        ),
+        "srfb_net": dict(
+            workload="SISRSRFB",
+            net=("SRFBNet", {"in_channels": 1, "out_channels": 1, "num_steps": 4,
+                             "num_features": 32, "num_groups": 6, "upscale_factor": factor}),
+            losses=[{"name": "L1Loss", "weight": 1.0}],
+            lr=1e-4, wd=0, batch=16, dataset_extra={},
+        ),
+        "duf_net": dict(
+            workload="MISR",
+            net=("DUFNet", {"in_channels": 1, "out_channels": 1, "num_frames": 7,
+                            "size_filter": 5, "upscale_factor": factor,
+                            "backbone": "_DenseLayer16"}),
+            losses=[{"name": "HuberLoss", "kwargs": {"delta": 0.01}, "weight": 1.0}],
+            lr=1e-3, wd=0, batch=12, dataset_extra={"num_frames": 7},
+        ),
+        "rbp_net": dict(
+            workload="MISR",
+            net=("RBPNet", {"in_channels": 1, "out_channels": 1, "base_filter": 256,
+                            "feat": 64, "num_stages": 3, "num_resblocks": 5,
+                            "num_frames": 7, "upscale_factor": factor}),
+            losses=[{"name": "L1Loss", "weight": 1.0}],
+            lr=1e-4, wd=0, batch=16, dataset_extra={"num_frames": 7},
+        ),
+        "toflow_net": dict(
+            workload="MISR",
+            net=("TOFlowNet", {"in_channels": 1, "out_channels": 1, "num_frames": 7,
+                               "upscale_factor": factor}),
+            losses=[{"name": "L1Loss", "weight": 1.0}],
+            lr=1e-4, wd=1e-4, batch=16, dataset_extra={"num_frames": 7},
+        ),
+        "edvr_net": dict(
+            workload="MISR",
+            net=("EDVRNet", {"in_channels": 1, "out_channels": 1, "nf": 128, "nframes": 5,
+                             "groups": 8, "front_RBs": 5, "back_RBs": 40}),
+            losses=[{"name": "CharbonnierLoss", "kwargs": {"epsilon": 1e-6}, "weight": 1.0}],
+            lr=4e-4, wd=0, batch=16, dataset_extra={"num_frames": 5}, factors=(4,),
+        ),
+        "frvsr_net": dict(
+            workload="FRVSR",
+            net=("FRVSRNet", {"in_channels": 1, "out_channels": 1, "num_resblocks": 10,
+                              "upscale_factor": factor}),
+            losses=[{"name": "FlowLoss", "weight": 1.0}, {"name": "MSELoss", "weight": 1.0}],
+            lr=1e-4, wd=0, batch=16, dataset_extra={"num_frames": 10}, factors=(4,),
+            vsr=True,
+        ),
+        "drf_net": dict(
+            workload="VSR",
+            net=("DRFNet", {"in_channels": 1, "out_channels": 1, "num_features": 32,
+                            "num_groups": 6, "upscale_factor": factor}),
+            losses=[{"name": "L1Loss", "weight": 1.0}],
+            lr=1e-4, wd=0, batch=16, dataset_extra={"num_frames": 7}, vsr=True,
+        ),
+        "refine_net": dict(
+            workload="VSRRefineNet",
+            net=("RefineNet", {"in_channels": 1, "out_channels": 1,
+                               "num_features": [64, 64, 64], "upscale_factor": factor,
+                               "num_stages": 3, "update_memory": True,
+                               "num_updated_frames": 6, "refine_window_size": 5,
+                               "positional_encoding": True}),
+            losses=[{"name": "L1Loss", "weight": 1.0}],
+            lr=1e-4, wd=0, batch=16,
+            dataset_extra={"num_frames": 7, "num_updated_frames": 6}, vsr=True,
+            needs_pos_code=True,
+        ),
+    }
+
+
+def _dataset_block(family_cfg, data_root, factor, dataset_prefix="Acdc", with_augments=True):
+    workload = family_cfg["workload"]
+    base = {"SISR": "SISRDataset", "SISRSRFB": "SISRDataset", "MISR": "MISRDataset",
+            "VSR": "VSRDataset", "FRVSR": "VSRDataset",
+            "VSRRefineNet": "VSRRefineNetDataset"}[workload]
+    tree = "imgs" if workload in ("SISR", "SISRSRFB") else "videos"
+    data_dir = "acdc_preprocessed" if dataset_prefix == "Acdc" else "dsb15_preprocessed"
+    kwargs = {
+        "data_dir": f"{data_root}/{data_dir}/{tree}",
+        "downscale_factor": factor,
+        "transforms": _transforms(),
+    }
+    if with_augments:
+        kwargs["augments"] = _augments(factor)
+    kwargs.update(family_cfg.get("dataset_extra", {}))
+    if family_cfg.get("needs_pos_code"):
+        kwargs["pos_code_path"] = f"{data_root}/{data_dir}/position_code.pkl"
+    return {"name": f"{dataset_prefix}{base}", "kwargs": kwargs}
+
+
+def _logger_name(family_cfg, prefix="Acdc"):
+    w = family_cfg["workload"]
+    name = {"SISR": "SISRLogger", "SISRSRFB": "SISRSRFBLogger", "MISR": "MISRLogger",
+            "VSR": "VSRLogger", "FRVSR": "VSRLogger", "VSRRefineNet": "VSRLogger"}[w]
+    return f"{prefix}{name}"
+
+
+def _runner_name(family_cfg, kind, prefix="Acdc"):
+    w = family_cfg["workload"]
+    return f"{prefix}{w}{'Trainer' if kind == 'train' else 'Predictor'}"
+
+
+def train_config(family, factor, data_root, out_root):
+    fc = _families(factor)[family]
+    return {
+        "main": {"random_seed": "vsr", "saved_dir": f"{out_root}/acdc/{family}/exp1_x{factor}/train"},
+        "dataset": _dataset_block(fc, data_root, factor),
+        "dataloader": {"name": "Dataloader", "kwargs": {
+            "train_batch_size": fc["batch"], "valid_batch_size": 1,
+            "shuffle": True, "num_workers": 8}},
+        "net": {"name": fc["net"][0], "kwargs": fc["net"][1]},
+        "losses": fc["losses"],
+        "metrics": [{"name": "PSNR"}, {"name": "SSIM"}],
+        "optimizer": {"name": "Adam", "kwargs": {"lr": fc["lr"], "weight_decay": fc["wd"]}},
+        "logger": {"name": _logger_name(fc), "kwargs": {"dummy_input": [fc["batch"], 1, 32, 32]}},
+        "monitor": {"name": "Monitor", "kwargs": {
+            "mode": "min", "target": "Loss", "saved_freq": 10, "early_stop": 0}},
+        "trainer": {"name": _runner_name(fc, "train"), "kwargs": {
+            "device": "cuda:0", "num_epochs": 1000}},
+    }
+
+
+def test_config(family, factor, data_root, out_root, dataset_prefix="Acdc", suffix=""):
+    fc = _families(factor)[family]
+    coords = "acdc_cropped" if dataset_prefix == "Acdc" else "dsb15_cropped"
+    exp = f"exp1_x{factor}{suffix}"
+    cfg = {
+        "main": {
+            "saved_dir": f"{out_root}/acdc/{family}/{exp}/test",
+            "loaded_path": f"{out_root}/acdc/{family}/exp1_x{factor}/train/checkpoints/model_best.pth",
+        },
+        "dataset": _dataset_block(fc, data_root, factor, dataset_prefix, with_augments=False),
+        "dataloader": {"name": "Dataloader", "kwargs": {
+            "batch_size": 1, "shuffle": False, "num_workers": 8}},
+        "net": {"name": fc["net"][0], "kwargs": fc["net"][1]},
+        "losses": fc["losses"],
+        "metrics": [
+            {"name": "PSNR"},
+            {"name": "SSIM"},
+            {"name": "CardiacPSNR", "kwargs": {"coordinates_path": f"{data_root}/{coords}/coordinates.pkl"}},
+            {"name": "CardiacSSIM", "kwargs": {"coordinates_path": f"{data_root}/{coords}/coordinates.pkl"}},
+        ],
+        "predictor": {"name": _runner_name(fc, "test", dataset_prefix), "kwargs": {
+            "device": "cuda:0",
+            "saved_dir": f"{out_root}/acdc/{family}/{exp}/test",
+            "exported": True}},
+    }
+    if fc["workload"] == "FRVSR":
+        cfg["net"]["kwargs"] = dict(cfg["net"]["kwargs"], is_prediction=True)
+        cfg["losses"] = [{"name": "MSELoss", "weight": 1.0}]
+    return cfg
+
+
+def bicubic_test_config(factor, data_root, out_root):
+    return {
+        "main": {"saved_dir": f"{out_root}/acdc/bicubic/exp1_x{factor}/test"},
+        "dataset": {"name": "AcdcSISRDataset", "kwargs": {
+            "data_dir": f"{data_root}/acdc_preprocessed/imgs",
+            "downscale_factor": factor, "transforms": _transforms()}},
+        "dataloader": {"name": "Dataloader", "kwargs": {
+            "batch_size": 1, "shuffle": False, "num_workers": 8}},
+        "net": {"name": "Bicubic", "kwargs": {"upscale_factor": factor}},
+        "losses": [{"name": "L1Loss", "weight": 1.0}],
+        "metrics": [
+            {"name": "PSNR"},
+            {"name": "SSIM"},
+            {"name": "CardiacPSNR", "kwargs": {"coordinates_path": f"{data_root}/acdc_cropped/coordinates.pkl"}},
+            {"name": "CardiacSSIM", "kwargs": {"coordinates_path": f"{data_root}/acdc_cropped/coordinates.pkl"}},
+        ],
+        "predictor": {"name": "AcdcSISRPredictor", "kwargs": {
+            "device": "cuda:0",
+            "saved_dir": f"{out_root}/acdc/bicubic/exp1_x{factor}/test",
+            "exported": True}},
+    }
+
+
+def _dump(cfg, path: Path):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f, default_flow_style=False, sort_keys=False)
+
+
+def main(out: Path, data_root: str, models_root: str):
+    count = 0
+    for factor in FACTORS:
+        _dump(bicubic_test_config(factor, data_root, models_root),
+              out / "test" / "bicubic" / f"exp1_x{factor}.yaml")
+        count += 1
+        for family, fc in _families(factor).items():
+            if factor not in fc.get("factors", FACTORS):
+                continue
+            _dump(train_config(family, factor, data_root, models_root),
+                  out / "train" / family / f"exp1_x{factor}.yaml")
+            _dump(test_config(family, factor, data_root, models_root),
+                  out / "test" / family / f"exp1_x{factor}.yaml")
+            count += 2
+    # DSB15 external eval for the flagship (trained on ACDC, eval'd on DSB15
+    # with ACDC normalization — reference exp1_x*_dsb15 configs)
+    for factor in FACTORS:
+        cfg = test_config("refine_net", factor, data_root, models_root,
+                          dataset_prefix="Dsb15", suffix="_dsb15")
+        _dump(cfg, out / "test" / "refine_net" / f"exp1_x{factor}_dsb15.yaml")
+        count += 1
+    print(f"Wrote {count} configs under {out}.")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Generate the config zoo.")
+    parser.add_argument("--out", type=Path, default=Path("configs"))
+    parser.add_argument("--data-root", default="./data")
+    parser.add_argument("--models-root", default="./models")
+    args = parser.parse_args()
+    main(args.out, args.data_root, args.models_root)
