@@ -82,6 +82,58 @@ def bench_jax(iters: int = 10, warmup: int = 2) -> dict:
     }
 
 
+def bench_train(iters: int = 6, warmup: int = 2) -> dict:
+    """Training-protocol step time: batch 16, 32x32 LR patches, 7+2x6 frames,
+    full flagship net, L1 stage-discounted loss, Adam (BASELINE.md row
+    'Train protocol')."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+        RefineNet,
+    )
+
+    model = RefineNet(**CFG)
+    rng = np.random.default_rng(0)
+    B, TC, HW = 16, 7, 32
+    T = TC + 2 * U
+    lr = rng.standard_normal((B, T, HW, HW, 1)).astype(np.float32)
+    pos = rng.uniform(-1, 1, (B, T, 1)).astype(np.float32)
+    hr = rng.standard_normal((B, TC, HW * 4, HW * 4, 1)).astype(np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), lr, pos)["params"]
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        outs = model.apply({"params": p}, lr, pos)
+        n_stages = len(outs) // 3
+        return sum(
+            (0.5 ** (n_stages - i // 3 - 1)) * jnp.mean(jnp.abs(o - hr))
+            for i, o in enumerate(outs)
+        )
+
+    @jax.jit
+    def train_step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    params, opt_state, loss = train_step(params, opt_state)
+    float(loss)
+    for _ in range(warmup):
+        params, opt_state, loss = train_step(params, opt_state)
+        float(loss)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_step(params, opt_state)
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    sec = float(np.median(times))
+    return {"steps_per_sec": 1.0 / sec, "sec_per_step": sec, "batch": B}
+
+
 def bench_torch_reference(iters: int = 2) -> dict | None:
     """Time the PyTorch reference on CPU under the same protocol (cached)."""
     if BASELINE_CACHE.exists():
@@ -125,6 +177,10 @@ def bench_torch_reference(iters: int = 2) -> dict | None:
 
 def main():
     ours = bench_jax()
+    try:
+        train = bench_train()
+    except Exception as e:  # keep the headline metric robust
+        train = {"error": str(e)[:200]}
     baseline = bench_torch_reference()
     vs = ours["frames_per_sec"] / baseline["frames_per_sec"] if baseline else None
     print(
@@ -136,6 +192,7 @@ def main():
                 "vs_baseline": round(vs, 3) if vs is not None else None,
                 "detail": {
                     "ours": ours,
+                    "train": train,
                     "baseline": baseline,
                     "protocol": f"batch {BATCH}, {CORE_T}+2x{U} frames, {LR_HW}x{LR_HW} LR, x4, fp32",
                 },

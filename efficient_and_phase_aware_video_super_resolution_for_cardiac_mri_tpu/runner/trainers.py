@@ -30,6 +30,7 @@ import optax
 
 from ..config import TRAINERS
 from ..parallel import shard_batch
+from ..utils.profiling import trace
 from ..utils.seeding import SeedState, seed_everything
 from ..utils.stats import get_stats
 from . import checkpoint as ckpt_io
@@ -246,9 +247,11 @@ class BaseTrainer:
                 if hasattr(loader, "set_epoch"):
                     loader.set_epoch(seeds[self.epoch - 1])
             LOG.info(f"Epoch {self.epoch}.")
-            train_log, train_batch, train_outputs = self._run_epoch("training")
+            with trace(f"train_epoch_{self.epoch}"):
+                train_log, train_batch, train_outputs = self._run_epoch("training")
             LOG.info(f"Train log: {train_log}.")
-            valid_log, valid_batch, valid_outputs = self._run_epoch("validation")
+            with trace(f"valid_epoch_{self.epoch}"):
+                valid_log, valid_batch, valid_outputs = self._run_epoch("validation")
             LOG.info(f"Valid log: {valid_log}.")
 
             if self.lr_scheduler is not None:
@@ -441,7 +444,9 @@ class FRVSRTrainer(VSRTrainer):
         losses = []
         for fn in self.loss_fns:
             if fn.name == "FlowLoss":
-                losses.append(fn(lr_warped, lr_imgs[:, 1:]))
+                # warped previous LR vs current LR, same index
+                # (reference acdc_frvsr_trainer.py:86)
+                losses.append(fn(lr_warped, lr_imgs))
             else:
                 losses.append(fn(sr_imgs, t))
         return losses

@@ -1,0 +1,173 @@
+"""Runner-level tests for the non-RefineNet workloads: batch-stats (DUF),
+FlowLoss routing (FRVSR), SRFB multi-step loss, and the TensorBoard loggers."""
+import numpy as np
+import pytest
+
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import (
+    LOGGERS,
+    TRAINERS,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.data import (
+    Dataloader,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import losses as L
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import metrics as M
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import models as nets
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.monitor import (
+    Monitor,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.optim import (
+    Optimizer,
+)
+
+
+class _ArrayDataset:
+    """Minimal in-memory dataset for runner tests."""
+
+    def __init__(self, items):
+        self.items = items
+        self.data = [(None, None)] * len(items)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i, rng=None):
+        return self.items[i]
+
+
+def _make_trainer(name, net, items, metric=True, num_epochs=1, **kwargs):
+    ds = _ArrayDataset(items)
+    loader = Dataloader(ds, batch_size=2, shuffle=False)
+    vloader = Dataloader(ds, batch_size=2, shuffle=False)
+    cls = TRAINERS.get(name)
+    return cls(
+        train_dataloader=loader,
+        valid_dataloader=vloader,
+        net=net,
+        loss_fns=kwargs.pop("loss_fns", [L.L1Loss()]),
+        loss_weights=kwargs.pop("loss_weights", None),
+        metric_fns=[M.PSNR()] if metric else [],
+        optimizer=Optimizer("Adam", lr=1e-3),
+        num_epochs=num_epochs,
+        **kwargs,
+    )
+
+
+def _misr_items(n=4, T=7, hw=8, r=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        {
+            "lr_imgs": rng.standard_normal((T, hw, hw, 1)).astype(np.float32),
+            "hr_img": rng.standard_normal((hw * r, hw * r, 1)).astype(np.float32),
+            "index": i,
+        }
+        for i in range(n)
+    ]
+
+
+def _vsr_items(n=4, T=4, hw=8, r=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        {
+            "lr_imgs": rng.standard_normal((T, hw, hw, 1)).astype(np.float32),
+            "hr_imgs": rng.standard_normal((T, hw * r, hw * r, 1)).astype(np.float32),
+            "index": i,
+        }
+        for i in range(n)
+    ]
+
+
+def test_duf_trainer_updates_batch_stats():
+    """The mutable batch_stats collection must thread through the jitted
+    train step and change across steps."""
+    import jax
+
+    net = nets.DUFNet(1, 1, num_frames=7, size_filter=5, upscale_factor=4,
+                      backbone="_DenseLayer16")
+    trainer = _make_trainer("AcdcMISRTrainer", net, _misr_items(), loss_fns=[L.HuberLoss(0.01)])
+    log, _, _ = trainer._run_epoch("training")
+    assert np.isfinite(log["Loss"])
+    assert trainer.model_state and "batch_stats" in trainer.model_state
+    stats0 = [np.asarray(x) for x in jax.tree.leaves(trainer.model_state["batch_stats"])]
+    log2, _, _ = trainer._run_epoch("training")
+    stats1 = [np.asarray(x) for x in jax.tree.leaves(trainer.model_state["batch_stats"])]
+    assert any(not np.allclose(a, b) for a, b in zip(stats0, stats1))
+    # eval uses running averages without mutating them
+    trainer._run_epoch("validation")
+    stats2 = [np.asarray(x) for x in jax.tree.leaves(trainer.model_state["batch_stats"])]
+    for a, b in zip(stats1, stats2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_frvsr_trainer_flow_loss_routing():
+    net = nets.FRVSRNet(1, 1, upscale_factor=4, num_resblocks=1)
+    trainer = _make_trainer(
+        "AcdcFRVSRTrainer",
+        net,
+        _vsr_items(),
+        loss_fns=[L.FlowLoss(), L.MSELoss()],
+        loss_weights=[1.0, 1.0],
+    )
+    log, _, outputs = trainer._run_epoch("training")
+    assert np.isfinite(log["Loss"])
+    assert log["FlowLoss"] != log["MSELoss"]  # distinct branches actually used
+    assert np.asarray(outputs).shape[-3:] == (32, 32, 1)  # SR branch displayed
+
+
+def test_srfb_trainer_multi_step_loss():
+    net = nets.SRFBNet(1, 1, num_steps=2, num_features=8, num_groups=2, upscale_factor=4)
+    rng = np.random.default_rng(1)
+    items = [
+        {
+            "lr_img": rng.standard_normal((8, 8, 1)).astype(np.float32),
+            "hr_img": rng.standard_normal((32, 32, 1)).astype(np.float32),
+            "index": i,
+        }
+        for i in range(4)
+    ]
+    trainer = _make_trainer("AcdcSISRSRFBTrainer", net, items)
+    log, _, outputs = trainer._run_epoch("training")
+    assert np.isfinite(log["Loss"])
+    assert np.asarray(outputs).shape == (2, 32, 32, 1)  # last step displayed
+
+
+def test_loggers_write_scalars_and_images(tmp_path):
+    logger = LOGGERS.get("AcdcVSRLogger")(log_dir=tmp_path / "log", dummy_input=[2, 1, 8, 8])
+    rng = np.random.default_rng(0)
+    batch = {"hr_imgs": rng.uniform(0, 1, (2, 3, 16, 16, 1)).astype(np.float32)}
+    outputs = rng.uniform(0, 1, (2, 3, 16, 16, 1)).astype(np.float32)
+    log = {"Loss": 1.0, "PSNR": 20.0}
+    logger.write(1, log, batch, outputs, log, batch, outputs)
+    logger.close()
+    assert list((tmp_path / "log").glob("events*"))
+
+
+def test_monitor_early_stop():
+    m = Monitor(checkpoints_dir="/tmp/evsr_monitor_test", mode="min", target="Loss",
+                saved_freq=100, early_stop=2)
+    assert m.is_best({"Loss": 1.0}) is not None
+    assert m.is_best({"Loss": 2.0}) is None
+    assert not m.is_early_stopped()
+    assert m.is_best({"Loss": 3.0}) is None
+    assert m.is_early_stopped()
+
+
+def test_lr_scheduler_applies_to_opt_state():
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.optim import (
+        StepLR,
+    )
+
+    net = nets.EDSRNet(1, 1, num_resblocks=1, num_features=4, upscale_factor=4)
+    rng = np.random.default_rng(2)
+    items = [
+        {
+            "lr_img": rng.standard_normal((8, 8, 1)).astype(np.float32),
+            "hr_img": rng.standard_normal((32, 32, 1)).astype(np.float32),
+            "index": i,
+        }
+        for i in range(2)
+    ]
+    sched = StepLR(base_lr=1e-3, step_size=1, gamma=0.1)
+    trainer = _make_trainer("AcdcSISRTrainer", net, items, num_epochs=2, lr_scheduler=sched)
+    trainer.train()
+    assert float(trainer.opt_state.hyperparams["learning_rate"]) == pytest.approx(1e-5, rel=1e-3)
