@@ -130,3 +130,37 @@ def test_denormalize():
     np.testing.assert_allclose(got, want)
     with pytest.raises(ValueError):
         denormalize(x, "bogus")
+
+
+def test_ssim_3d_matches_torch_formula():
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(11)
+    a = rng.uniform(0, 255, (1, 13, 14, 15, 1)).astype(np.float32)  # (N, D, H, W, C)
+    b = np.clip(a + rng.normal(0, 10, a.shape), 0, 255).astype(np.float32)
+
+    size, sigma = 11, 1.5
+    xs = torch.arange(size, dtype=torch.float32)
+    g = 1 / (sigma * math.sqrt(2 * math.pi)) * torch.exp(-(((xs - size // 2) / (2 * sigma)) ** 2))
+    k3 = g[:, None, None] * g[None, :, None] * g[None, None, :]
+    k3 = (k3 / k3.sum()).view(1, 1, size, size, size)
+    at = torch.from_numpy(a.transpose(0, 4, 1, 2, 3))
+    bt = torch.from_numpy(b.transpose(0, 4, 1, 2, 3))
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    mu1, mu2 = F.conv3d(at, k3), F.conv3d(bt, k3)
+    s1 = F.conv3d(at * at, k3) - mu1**2
+    s2 = F.conv3d(bt * bt, k3) - mu2**2
+    s12 = F.conv3d(at * bt, k3) - mu1 * mu2
+    smap = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / ((mu1**2 + mu2**2 + c1) * (s1 + s2 + c2))
+    want = float(smap.mean())
+    got = float(M.SSIM(dim=3)(a, b))
+    assert got == pytest.approx(want, abs=5e-5)
+
+
+def test_psnr_masked_none_vs_full_mask_equal():
+    a, b = _fake_images(shape=(2, 16, 16, 1))
+    full = np.ones((1, 16, 16, 1), np.float32)
+    assert float(M.PSNR()(a, b)) == pytest.approx(float(M.PSNR()(a, b, mask=full)), rel=1e-6)

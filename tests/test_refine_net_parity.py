@@ -184,3 +184,23 @@ def test_quirk3_refine_body_is_linear(pair):
     np.testing.assert_allclose(
         np.asarray(two - zero), 2 * np.asarray(one - zero), atol=1e-4, rtol=1e-4
     )
+
+
+def test_forward_parity_memory_ablation():
+    """memory=False replaces h with a second copy of x (refine_net.py:251-255)."""
+    import torch
+
+    cfg = dict(CFG, memory=False)
+    torch.manual_seed(2)
+    rn = load_reference_refine_net()
+    ref = rn.RefineNet(**cfg)
+    ref.eval()
+    params = {"params": params_from_torch_state_dict("RefineNet", ref.state_dict())}
+    model = RefineNet(**cfg)
+    rng = np.random.default_rng(10)
+    lr = rng.standard_normal((1, T, H, W, 1)).astype(np.float32)
+    pos = rng.uniform(-1, 1, (1, T, 1)).astype(np.float32)
+    want = _torch_forward(ref, lr, pos)
+    got = model.apply(params, lr, pos)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, atol=5e-5, rtol=1e-4)
