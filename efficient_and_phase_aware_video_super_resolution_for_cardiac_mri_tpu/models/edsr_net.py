@@ -6,7 +6,6 @@ global skip → PixelShuffle tail → output conv.
 from __future__ import annotations
 
 import math
-from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.pixel_shuffle import space_to_depth
-from ..ops.resize import resize_bilinear, upsample_bilinear
+from ..ops.resize import upsample_bilinear
 from ..ops.warp import stn_warp
 from .common import ConvTransposeTorch, conv, xavier_conv_init
 

@@ -7,7 +7,6 @@ the carry over the frame axis.
 """
 from __future__ import annotations
 
-from typing import Any
 
 import flax.linen as nn
 import jax
