@@ -72,11 +72,12 @@ class SISRLogger(BaseLogger):
 
 class SISRSRFBLogger(BaseLogger):
     """SRFB multi-step output: panels use the last step (reference
-    ``acdc_sisr_srfb_logger.py:23-26``)."""
+    ``acdc_sisr_srfb_logger.py:23-26``; here the trainer's display hook has
+    already selected it)."""
 
     def _add_images(self, epoch, train_batch, train_outputs, valid_batch, valid_outputs):
-        self.writer.add_image("train", self._panel(train_batch["hr_img"], train_outputs[-1]))
-        self.writer.add_image("valid", self._panel(valid_batch["hr_img"], valid_outputs[-1]))
+        self.writer.add_image("train", self._panel(train_batch["hr_img"], train_outputs))
+        self.writer.add_image("valid", self._panel(valid_batch["hr_img"], valid_outputs))
 
 
 class MISRLogger(BaseLogger):

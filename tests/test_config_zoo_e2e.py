@@ -1,0 +1,100 @@
+"""The generated config zoo must RUN, not just resolve: for one family per
+workload, load the generated YAML, shrink the net/epochs, point it at the
+synthetic tree, and drive the real train + test paths."""
+import numpy as np
+import pytest
+
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import Cfg
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main import (
+    test_from_config as run_test_config,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main import (
+    train_from_config,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools import (
+    gen_configs,
+)
+from fixtures import make_acdc_tree
+
+FRAMES = 10
+
+# family → (tiny net overrides, dataset overrides)
+CASES = {
+    "edsr_net": ({"num_resblocks": 1, "num_features": 8}, {}),
+    "srfb_net": ({"num_steps": 2, "num_features": 8, "num_groups": 2}, {}),
+    "duf_net": ({}, {}),  # backbone fixed; frames must stay 7
+    "toflow_net": ({"num_frames": 3}, {"num_frames": 3}),
+    "rbp_net": (
+        {"base_filter": 8, "feat": 8, "num_resblocks": 1, "num_frames": 3},
+        {"num_frames": 3},
+    ),
+    "drf_net": ({"num_features": 8, "num_groups": 2}, {"num_frames": 3}),
+    "frvsr_net": ({"num_resblocks": 1}, {"num_frames": 3}),
+    "refine_net": (
+        {"num_features": [6, 6], "num_stages": 2, "num_updated_frames": 2},
+        {"num_frames": 3, "num_updated_frames": 2},
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    return make_acdc_tree(tmp_path_factory.mktemp("acdc"), frames=FRAMES, hr_size=(48, 48))
+
+
+def _patch(cfg: Cfg, tree, out_dir, family, kind) -> Cfg:
+    net_over, ds_over = CASES[family]
+    cfg = Cfg(cfg.to_dict())
+    is_imgs = "imgs" in cfg.dataset.kwargs.data_dir
+    cfg.dataset.kwargs.data_dir = str(tree["imgs_dir"] if is_imgs else tree["videos_dir"])
+    if "pos_code_path" in cfg.dataset.kwargs:
+        cfg.dataset.kwargs.pos_code_path = str(tree["pos_code_path"])
+    cfg.dataset.kwargs.update(ds_over)
+    cfg.net.kwargs.update(net_over)
+    cfg.main.saved_dir = str(out_dir / kind)
+    if kind == "train":
+        cfg.trainer.kwargs.update(device="cpu", num_epochs=1)
+        cfg.dataloader.kwargs.update(train_batch_size=2, num_workers=0, drop_last=True)
+        if "augments" in cfg.dataset.kwargs:
+            for aug in cfg.dataset.kwargs.augments:
+                if aug["name"] == "RandomCropPatch":
+                    aug.kwargs.size = [8, 8]
+        cfg.monitor.kwargs.saved_freq = 1
+    else:
+        cfg.predictor.kwargs.update(device="cpu", exported=False,
+                                    saved_dir=str(out_dir / kind))
+        cfg.dataloader.kwargs.update(num_workers=0)
+        cfg.main.loaded_path = str(out_dir / "train" / "checkpoints" / "model_best.pth")
+        for m in list(cfg.metrics):
+            if "Cardiac" in m["name"]:
+                m.kwargs.coordinates_path = str(tree["coordinates_path"])
+    return cfg
+
+
+@pytest.mark.parametrize("family", sorted(CASES))
+def test_generated_config_trains_and_tests(tmp_path_factory, tree, family):
+    out_dir = tmp_path_factory.mktemp(family)
+    factor = 4
+    train_cfg = gen_configs.train_config(family, factor, "UNUSED", "UNUSED")
+    test_cfg = gen_configs.test_config(family, factor, "UNUSED", "UNUSED")
+
+    trainer = train_from_config(_patch(Cfg(train_cfg), tree, out_dir, family, "train"))
+    assert np.isfinite(trainer.monitor.best)
+
+    predictor = run_test_config(_patch(Cfg(test_cfg), tree, out_dir, family, "test"))
+    assert np.isfinite(predictor.log["Loss"])
+    assert predictor.log["PSNR"] > 0
+
+
+def test_generated_bicubic_config(tmp_path_factory, tree):
+    out_dir = tmp_path_factory.mktemp("bicubic")
+    cfg = Cfg(gen_configs.bicubic_test_config(4, "UNUSED", "UNUSED"))
+    cfg.dataset.kwargs.data_dir = str(tree["imgs_dir"])
+    cfg.main.saved_dir = str(out_dir)
+    cfg.predictor.kwargs.update(device="cpu", exported=False, saved_dir=str(out_dir))
+    cfg.dataloader.kwargs.update(num_workers=0)
+    for m in list(cfg.metrics):
+        if "Cardiac" in m["name"]:
+            m.kwargs.coordinates_path = str(tree["coordinates_path"])
+    predictor = run_test_config(cfg)
+    assert predictor.log["PSNR"] > 10
