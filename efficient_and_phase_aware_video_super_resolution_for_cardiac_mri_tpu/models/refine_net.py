@@ -88,14 +88,20 @@ class ConvLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, num_updated_frames: int = 0) -> jnp.ndarray:
+        import os
+
         B, T, H, W, _ = xs.shape
         U = num_updated_frames
+        # per-step while-loop overhead dominates clip latency (PERF_NOTES.md);
+        # unrolling trades compile time for pipelining across steps
+        unroll = int(os.environ.get("EVSR_SCAN_UNROLL", "1"))
         scan = nn.scan(
             ConvLSTMStep,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
+            unroll=max(1, unroll),
         )(input_dim=self.input_dim, hidden_dims=tuple(self.hidden_dims), memory=self.memory,
           name="cells")
         carry = _zero_carry(B, H, W, self.hidden_dims, xs.dtype)

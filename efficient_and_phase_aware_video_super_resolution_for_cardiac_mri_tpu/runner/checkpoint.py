@@ -25,7 +25,7 @@ def _to_numpy(tree):
 
 def save_checkpoint(path, *, params, model_state=None, opt_state=None,
                     lr_scheduler_state=None, monitor_state=None, epoch=None,
-                    seed_state=None) -> None:
+                    seed_state=None, backend: str = "pickle") -> None:
     payload = {
         "format": "evsr_tpu.v1",
         "net": _to_numpy(params),
@@ -38,8 +38,48 @@ def save_checkpoint(path, *, params, model_state=None, opt_state=None,
     }
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    if backend == "orbax":
+        _save_orbax(path, payload)
+        return
     with open(path, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def _save_orbax(path: Path, payload: dict) -> None:
+    """Orbax backend: array pytrees via StandardCheckpointer (async-capable,
+    multihost-aware), non-array run state as a pickled sidecar."""
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    path = Path(path)
+    if path.exists():
+        shutil.rmtree(path, ignore_errors=True)
+    arrays = {
+        "net": payload["net"],
+        "optimizer": payload["optimizer"],
+        "model_state": payload["model_state"] or {},
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path.resolve() / "arrays", arrays)
+    meta = {k: payload[k] for k in ("format", "lr_scheduler", "monitor", "epoch", "seed_state")}
+    with open(path / "meta.pkl", "wb") as f:
+        pickle.dump(meta, f)
+
+
+def _load_orbax(path: Path) -> dict:
+    import orbax.checkpoint as ocp
+
+    with open(path / "meta.pkl", "rb") as f:
+        payload = pickle.load(f)
+    with ocp.StandardCheckpointer() as ckptr:
+        arrays = ckptr.restore(path.resolve() / "arrays")
+    payload.update(
+        net=arrays["net"],
+        optimizer=arrays["optimizer"],
+        model_state=arrays["model_state"] or None,
+    )
+    return payload
 
 
 def _is_torch_zipfile(path: Path) -> bool:
@@ -50,6 +90,8 @@ def _is_torch_zipfile(path: Path) -> bool:
 
 def load_checkpoint(path) -> dict:
     path = Path(path)
+    if path.is_dir() and (path / "meta.pkl").exists():
+        return _load_orbax(path)
     with open(path, "rb") as f:
         return pickle.load(f)
 
@@ -58,7 +100,7 @@ def load_net_variables(path, model_name: str | None = None) -> dict:
     """Load net variables ({'params': ..., maybe 'batch_stats': ...}) from
     either our checkpoint or a genuine PyTorch reference ``.pth``."""
     path = Path(path)
-    if _is_torch_zipfile(path):
+    if path.is_file() and _is_torch_zipfile(path):
         from ..utils.torch_import import load_torch_checkpoint, variables_from_torch_state_dict
 
         if model_name is None:

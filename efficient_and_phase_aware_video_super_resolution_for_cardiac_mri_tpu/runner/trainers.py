@@ -69,6 +69,7 @@ class BaseTrainer:
         mesh=None,
         seed_state: SeedState | None = None,
         dataset_stats: str | None = None,
+        checkpoint_backend: str = "pickle",
     ):
         self.device = device
         self.mesh = mesh
@@ -83,6 +84,7 @@ class BaseTrainer:
         self.logger = logger
         self.monitor = monitor
         self.num_epochs = num_epochs
+        self.checkpoint_backend = checkpoint_backend
         self.epoch = 1
         if dataset_stats:
             self.dataset_stats = dataset_stats
@@ -299,6 +301,7 @@ class BaseTrainer:
             monitor_state=self.monitor.state_dict() if self.monitor else None,
             epoch=self.epoch,
             seed_state=self.seed_state,
+            backend=self.checkpoint_backend,
         )
 
     def load(self, path):

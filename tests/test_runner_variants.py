@@ -171,3 +171,40 @@ def test_lr_scheduler_applies_to_opt_state():
     trainer = _make_trainer("AcdcSISRTrainer", net, items, num_epochs=2, lr_scheduler=sched)
     trainer.train()
     assert float(trainer.opt_state.hyperparams["learning_rate"]) == pytest.approx(1e-5, rel=1e-3)
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """Orbax backend round-trips the full trainer state (arrays via
+    StandardCheckpointer, run state via sidecar)."""
+    import jax
+    import numpy as np
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner import (
+        checkpoint as ckpt_io,
+    )
+
+    net = nets.EDSRNet(1, 1, num_resblocks=1, num_features=4, upscale_factor=4)
+    rng = np.random.default_rng(3)
+    items = [
+        {
+            "lr_img": rng.standard_normal((8, 8, 1)).astype(np.float32),
+            "hr_img": rng.standard_normal((32, 32, 1)).astype(np.float32),
+            "index": i,
+        }
+        for i in range(2)
+    ]
+    trainer = _make_trainer("AcdcSISRTrainer", net, items, checkpoint_backend="orbax")
+    trainer._run_epoch("training")
+    path = tmp_path / "model_best.pth"
+    trainer.save(path)
+    assert path.is_dir() and (path / "meta.pkl").exists()
+
+    trainer2 = _make_trainer("AcdcSISRTrainer", net, items, checkpoint_backend="orbax")
+    trainer2.load(path)
+    for a, b in zip(jax.tree.leaves(trainer.params), jax.tree.leaves(trainer2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert trainer2.epoch == trainer.epoch + 1  # resume semantics
+
+    # predictors load net-only from the same directory checkpoint
+    variables = ckpt_io.load_net_variables(path)
+    assert "params" in variables
