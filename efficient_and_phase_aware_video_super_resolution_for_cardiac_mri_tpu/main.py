@@ -64,8 +64,10 @@ def build_mesh(cfg: Cfg):
     parallel = cfg.get("parallel")
     if not parallel:
         return None
-    from .parallel import make_mesh
+    from .parallel import distributed_initialize, make_mesh
 
+    if parallel.get("multi_host"):
+        distributed_initialize(parallel.get("coordinator_address"))
     return make_mesh(parallel.get("num_devices"), parallel.get("model_parallel", 1))
 
 

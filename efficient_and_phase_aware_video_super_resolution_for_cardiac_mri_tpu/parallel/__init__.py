@@ -1,3 +1,4 @@
+from .distributed import initialize as distributed_initialize
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -9,6 +10,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "distributed_initialize",
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",

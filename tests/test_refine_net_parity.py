@@ -204,3 +204,25 @@ def test_forward_parity_memory_ablation():
     got = model.apply(params, lr, pos)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), w, atol=5e-5, rtol=1e-4)
+
+
+def test_torch_export_round_trip(pair, inputs):
+    """TPU-trained weights exported back into the PyTorch reference must
+    reproduce the flax outputs (the reverse interop path)."""
+    import torch
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils.torch_export import (
+        refine_net_state_dict,
+    )
+
+    ref, model, params = pair
+    lr, pos = inputs
+    rn = load_reference_refine_net()
+    ref2 = rn.RefineNet(**CFG)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in refine_net_state_dict(params["params"]).items()}
+    ref2.load_state_dict(sd, strict=True)
+    ref2.eval()
+    want = _torch_forward(ref2, lr, pos)
+    got = model.apply(params, lr, pos)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, atol=5e-5, rtol=1e-4)
