@@ -151,6 +151,12 @@ def train_from_config(cfg: Cfg):
     )
 
     loaded_path = cfg.main.get("loaded_path")
+    if loaded_path == "auto":
+        # failure recovery: resume from the newest checkpoint if any exists
+        from .runner.checkpoint import find_latest_checkpoint
+
+        loaded_path = find_latest_checkpoint(saved_dir / "checkpoints")
+        logger.info(f"Auto-resume: {'found ' + str(loaded_path) if loaded_path else 'no checkpoint, fresh start'}.")
     if loaded_path:
         logger.info(f'Load the previous checkpoint from "{loaded_path}".')
         trainer.load(Path(loaded_path))

@@ -116,3 +116,20 @@ def load_net_variables(path, model_name: str | None = None) -> dict:
 
 def load_net_params(path, model_name: str | None = None) -> dict:
     return load_net_variables(path, model_name)["params"]
+
+
+def find_latest_checkpoint(checkpoints_dir) -> Path | None:
+    """Newest checkpoint for auto-resume (``loaded_path: 'auto'``): prefers
+    the highest-epoch ``model_{N}.pth``, falls back to ``model_best.pth``."""
+    d = Path(checkpoints_dir)
+    if not d.is_dir():
+        return None
+    numbered = []
+    for p in d.glob("model_*.pth"):
+        stem = p.name[len("model_"):-len(".pth")]
+        if stem.isdigit():
+            numbered.append((int(stem), p))
+    if numbered:
+        return max(numbered)[1]
+    best = d / "model_best.pth"
+    return best if best.exists() else None

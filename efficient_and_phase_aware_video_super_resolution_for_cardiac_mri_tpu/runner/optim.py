@@ -50,17 +50,31 @@ _FACTORIES = {"Adam": _adam, "AdamW": _adamw, "SGD": _sgd, "RMSprop": _rmsprop}
 
 
 class Optimizer:
-    """optax transform + the base lr, wrapped with inject_hyperparams."""
+    """optax transform + the base lr, wrapped with inject_hyperparams.
+
+    Framework extensions beyond the torch kwargs (the reference has neither):
+    ``grad_clip_norm`` chains a global-norm clip before the update, and
+    ``skip_nonfinite: N`` wraps with ``optax.apply_if_finite`` so a NaN/inf
+    gradient skips the update instead of poisoning the params (errors out
+    after N consecutive bad steps).
+    """
 
     def __init__(self, name: str, **kwargs):
         if name not in _FACTORIES:
             raise KeyError(f"Unknown optimizer {name!r}. Available: {sorted(_FACTORIES)}")
         lr = kwargs.pop("lr", None)
         self.base_lr = 1e-3 if lr is None else float(lr)
+        grad_clip_norm = kwargs.pop("grad_clip_norm", None)
+        skip_nonfinite = kwargs.pop("skip_nonfinite", 0)
         factory = _FACTORIES[name]
 
         def build(learning_rate):
-            return factory(lr=learning_rate, **kwargs)
+            tx = factory(lr=learning_rate, **kwargs)
+            if grad_clip_norm:
+                tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+            if skip_nonfinite:
+                tx = optax.apply_if_finite(tx, max_consecutive_errors=int(skip_nonfinite))
+            return tx
 
         self.tx = optax.inject_hyperparams(build)(learning_rate=self.base_lr)
 

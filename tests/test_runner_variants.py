@@ -208,3 +208,36 @@ def test_orbax_checkpoint_backend(tmp_path):
     # predictors load net-only from the same directory checkpoint
     variables = ckpt_io.load_net_variables(path)
     assert "params" in variables
+
+
+def test_optimizer_grad_clip_and_nonfinite_skip():
+    import jax.numpy as jnp
+    import optax
+
+    opt = Optimizer("Adam", lr=1.0, grad_clip_norm=0.001, skip_nonfinite=3)
+    params = {"w": jnp.ones((4,))}
+    state = opt.init(params)
+    # huge gradient gets clipped: update magnitude bounded
+    updates, state = opt.update({"w": jnp.full((4,), 1e6)}, state, params)
+    new = optax.apply_updates(params, updates)
+    assert np.all(np.isfinite(np.asarray(new["w"])))
+    # non-finite gradient: update is skipped entirely
+    updates, state = opt.update({"w": jnp.full((4,), np.nan)}, state, params)
+    skipped = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(skipped["w"]), np.asarray(params["w"]))
+    # lr still adjustable through the wrapper chain
+    Optimizer.set_lr(state, 0.5)
+
+
+def test_find_latest_checkpoint(tmp_path):
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.checkpoint import (
+        find_latest_checkpoint,
+    )
+
+    assert find_latest_checkpoint(tmp_path) is None
+    (tmp_path / "model_best.pth").write_bytes(b"x")
+    assert find_latest_checkpoint(tmp_path).name == "model_best.pth"
+    (tmp_path / "model_10.pth").write_bytes(b"x")
+    (tmp_path / "model_90.pth").write_bytes(b"x")
+    (tmp_path / "model_100.pth").write_bytes(b"x")
+    assert find_latest_checkpoint(tmp_path).name == "model_100.pth"
