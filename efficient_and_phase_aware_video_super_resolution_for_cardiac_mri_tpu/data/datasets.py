@@ -39,20 +39,26 @@ class _VolumeCache:
     """
 
     def __init__(self, capacity: int = 512):
+        import threading
         from collections import OrderedDict
 
         self.capacity = capacity
         self._cache = OrderedDict()
+        # loader threads share this cache; OrderedDict reordering/eviction is
+        # not atomic, so guard it (decode itself runs outside the lock)
+        self._lock = threading.Lock()
 
     def get(self, path: Path) -> np.ndarray:
         key = str(path)
-        if key in self._cache:
-            self._cache.move_to_end(key)
-            return self._cache[key]
+        with self._lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
         data = _read_volume(path)
-        self._cache[key] = data
-        if len(self._cache) > self.capacity:
-            self._cache.popitem(last=False)
+        with self._lock:
+            self._cache[key] = data
+            if len(self._cache) > self.capacity:
+                self._cache.popitem(last=False)
         return data
 
 
@@ -70,14 +76,16 @@ def _read_volume(path) -> np.ndarray:
 
 _VOLUMES = _VolumeCache()
 _PICKLES: dict[str, dict] = {}
+_PICKLES_LOCK = __import__("threading").Lock()
 
 
 def _load_pickle(path) -> dict:
     key = str(path)
-    if key not in _PICKLES:
-        with open(key, "rb") as f:
-            _PICKLES[key] = pickle.load(f)
-    return _PICKLES[key]
+    with _PICKLES_LOCK:
+        if key not in _PICKLES:
+            with open(key, "rb") as f:
+                _PICKLES[key] = pickle.load(f)
+        return _PICKLES[key]
 
 
 def _frames(vol: np.ndarray) -> list[np.ndarray]:

@@ -207,3 +207,60 @@ def test_loader_len_and_sequential(tree):
     batch = next(iter(loader))
     assert batch["lr_img"].shape == (1, 12, 12, 1)
     assert batch["index"][0] == 0
+
+
+def test_misr_window_wraps_at_sequence_end(tree):
+    ds = DATASETS.get("AcdcMISRDataset")(
+        data_dir=tree["videos_dir"],
+        type="train",
+        downscale_factor=4,
+        transforms=NORM,
+        num_frames=5,
+        temporal_order="middle",
+    )
+    # last frame of the first sequence: window wraps to the front
+    item = ds[FRAMES - 1]
+    first = ds[1]  # its window covers frames 0..3 around t=1 (wraps at front too)
+    assert item["lr_imgs"].shape == (5, 12, 12, 1)
+    # wrap correctness: t=T-1 middle window is [T-3, T-2, T-1, 0, 1]
+    direct = ds[0]["lr_imgs"]  # t=0 window is [T-2, T-1, 0, 1, 2]
+    np.testing.assert_allclose(item["lr_imgs"][3], direct[2])  # frame 0 in both
+
+
+def test_vsr_temporal_order_last(tree):
+    ds = DATASETS.get("AcdcVSRDataset")(
+        data_dir=tree["videos_dir"],
+        type="train",
+        downscale_factor=4,
+        transforms=NORM,
+        num_frames=3,
+        temporal_order="last",
+    )
+    # t=2 window (last order) = frames [0, 1, 2]
+    item = ds[2]
+    whole = DATASETS.get("AcdcVSRDataset")(
+        data_dir=tree["videos_dir"], type="valid", downscale_factor=4, transforms=NORM
+    )
+    assert item["lr_imgs"].shape == (3, 12, 12, 1)
+
+
+def test_volume_cache_thread_safety(tree):
+    """Hammer the shared cache from many threads (regression for the
+    unlocked OrderedDict)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.data.datasets import (
+        _VolumeCache,
+    )
+
+    cache = _VolumeCache(capacity=3)
+    paths = sorted((tree["videos_dir"] / "train").rglob("*.nii.gz"))
+    assert len(paths) >= 4
+
+    def worker(i):
+        for j in range(50):
+            cache.get(paths[(i + j) % len(paths)])
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        assert all(pool.map(worker, range(8)))
