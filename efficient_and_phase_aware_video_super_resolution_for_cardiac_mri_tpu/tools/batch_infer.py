@@ -1,0 +1,139 @@
+"""Mesh-batched full-volume inference (BASELINE config #5: "full-volume
+multi-patient ACDC inference batched across a v5e-8 data-parallel mesh").
+
+Groups whole-sequence items by shape (T, H, W), pads each group to a multiple
+of the mesh size, and runs the flagship forward with the batch axis sharded
+over the ``data`` mesh — every chip processes different patients in the same
+jitted call.  Writes per-frame PSNR/SSIM rows and reports frames/sec.
+
+Usage:
+    python -m <pkg>.tools.batch_infer CKPT DATA_DIR POS_CODE.pkl OUT.csv \
+        [--factor 4] [--split test] [--num-devices N] [--net-kwargs JSON]
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+from .. import data as _data  # noqa: F401  (registry)
+from ..config import DATASETS
+from ..metrics import PSNR, SSIM
+from ..models import RefineNet
+from ..parallel import make_mesh, replicate_tree, shard_batch
+from ..runner.checkpoint import load_net_variables
+from ..utils.stats import denormalize
+
+NET_KWARGS = dict(
+    in_channels=1,
+    out_channels=1,
+    num_features=[64, 64, 64],
+    upscale_factor=4,
+    num_stages=3,
+    update_memory=True,
+    num_updated_frames=6,
+    refine_window_size=5,
+    positional_encoding=True,
+)
+
+
+def group_by_shape(dataset):
+    """{(T, H, W): [indices]} so each group batches into one jitted call."""
+    groups = defaultdict(list)
+    for idx in range(len(dataset)):
+        item = dataset[idx]
+        groups[item["lr_imgs"].shape].append((idx, item))
+    return groups
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Mesh-batched inference.")
+    parser.add_argument("checkpoint", type=Path)
+    parser.add_argument("data_dir", type=Path)
+    parser.add_argument("pos_code_path", type=Path)
+    parser.add_argument("out_csv", type=Path)
+    parser.add_argument("--factor", type=int, default=4)
+    parser.add_argument("--split", default="test")
+    parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument("--net-kwargs", type=json.loads, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    net_kwargs = args.net_kwargs or dict(NET_KWARGS, upscale_factor=args.factor)
+    U = net_kwargs["num_updated_frames"]
+    mesh = make_mesh(args.num_devices)
+    n_dev = mesh.shape["data"]
+
+    dataset = DATASETS.get("AcdcVSRRefineNetDataset")(
+        data_dir=args.data_dir,
+        type=args.split,
+        downscale_factor=args.factor,
+        transforms=[
+            {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+            {"name": "ToTensor"},
+        ],
+        pos_code_path=str(args.pos_code_path),
+        num_frames=7,
+        num_updated_frames=U,
+    )
+
+    model = RefineNet(**net_kwargs)
+    variables = load_net_variables(args.checkpoint, "RefineNet")
+    variables = replicate_tree(mesh, jax.tree.map(np.asarray, variables))
+
+    @jax.jit
+    def forward(v, lr, pos):
+        return model.apply(v, lr, pos)[-1]
+
+    psnr, ssim = PSNR(size_average=False), SSIM(size_average=False)
+    rows = [["name", "frame", "PSNR", "SSIM"]]
+    frames = 0
+    t0 = time.perf_counter()
+    for shape, items in sorted(group_by_shape(dataset).items()):
+        for start in range(0, len(items), n_dev):
+            chunk = items[start : start + n_dev]
+            pad = n_dev - len(chunk)
+            lr = np.stack([it["lr_imgs"] for _, it in chunk] + [chunk[-1][1]["lr_imgs"]] * pad)
+            pos = np.stack([it["pos_code"] for _, it in chunk] + [chunk[-1][1]["pos_code"]] * pad)
+            hr = np.stack([it["hr_imgs"] for _, it in chunk] + [chunk[-1][1]["hr_imgs"]] * pad)
+            batch = shard_batch(mesh, {"lr": lr, "pos": pos})
+            out = np.asarray(forward(variables, batch["lr"], batch["pos"]))
+            out_d = np.asarray(denormalize(out, "acdc"))
+            hr_d = np.asarray(denormalize(hr, "acdc"))
+            for b, (idx, _) in enumerate(chunk):
+                lr_path = dataset.data[idx][0]
+                name = lr_path.parts[-1].split(".")[0]
+                for t in range(hr_d.shape[1]):
+                    rows.append(
+                        [
+                            f"{name}_frame{t+1:0>2d}",
+                            t,
+                            float(psnr(out_d[b : b + 1, t], hr_d[b : b + 1, t])[0]),
+                            float(ssim(out_d[b : b + 1, t], hr_d[b : b + 1, t])[0]),
+                        ]
+                    )
+                frames += hr_d.shape[1]
+    elapsed = max(time.perf_counter() - t0, 1e-9)
+
+    args.out_csv.parent.mkdir(parents=True, exist_ok=True)
+    with open(args.out_csv, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    summary = {
+        "devices": n_dev,
+        "sequences": len(dataset),
+        "frames": frames,
+        "frames_per_sec": frames / elapsed,
+        "mean_psnr": float(np.mean([float(r[2]) for r in rows[1:]])) if len(rows) > 1 else None,
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()
