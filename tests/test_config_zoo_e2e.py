@@ -23,6 +23,10 @@ CASES = {
     "edsr_net": ({"num_resblocks": 1, "num_features": 8}, {}),
     "srfb_net": ({"num_steps": 2, "num_features": 8, "num_groups": 2}, {}),
     "duf_net": ({}, {}),  # backbone fixed; frames must stay 7
+    "edvr_net": (
+        {"nf": 8, "nframes": 5, "groups": 2, "front_RBs": 1, "back_RBs": 1},
+        {"num_frames": 5},
+    ),
     "toflow_net": ({"num_frames": 3}, {"num_frames": 3}),
     "rbp_net": (
         {"base_filter": 8, "feat": 8, "num_resblocks": 1, "num_frames": 3},
