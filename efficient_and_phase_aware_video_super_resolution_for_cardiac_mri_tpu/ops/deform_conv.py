@@ -115,3 +115,125 @@ def deform_conv2d(
 def modulated_deform_conv2d(x, offset, mask, weight, bias=None, **kwargs):
     """DCNv2 (reference ``deform_conv.py:116-119``)."""
     return deform_conv2d(x, offset, weight, mask=mask, bias=bias, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# Module wrappers mirroring the reference's four exported classes
+# (``dcn/deform_conv.py``: DeformConv, DeformConvPack, ModulatedDeformConv,
+# ModulatedDeformConvPack).  The Pack variants generate offsets (+ sigmoid
+# mask) from a zero-initialized conv; weights use the reference's
+# uniform(±1/√(Cin·k²)) init.
+
+
+def _make_modules():
+    import flax.linen as nn
+    import jax
+
+    from .torch_init import torch_conv_kernel_init
+
+    class DeformConv(nn.Module):
+        """DCNv1 with externally-supplied offsets (reference ``:151-198``)."""
+
+        features: int
+        kernel_size: int = 3
+        stride: int = 1
+        padding: int = 0
+        dilation: int = 1
+        deformable_groups: int = 1
+        use_bias: bool = False  # reference DeformConv has no bias
+
+        @nn.compact
+        def __call__(self, x, offset):
+            k = self.kernel_size
+            weight = self.param(
+                "weight", torch_conv_kernel_init, (k, k, x.shape[-1], self.features)
+            )
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias
+                else None
+            )
+            return deform_conv2d(
+                x, offset, weight, bias=bias, stride=self.stride, padding=self.padding,
+                dilation=self.dilation, deformable_groups=self.deformable_groups,
+            )
+
+    class ModulatedDeformConv(DeformConv):
+        """DCNv2 with external offsets + mask (reference ``:221-257``)."""
+
+        use_bias: bool = True
+
+        @nn.compact
+        def __call__(self, x, offset, mask):
+            k = self.kernel_size
+            weight = self.param(
+                "weight", torch_conv_kernel_init, (k, k, x.shape[-1], self.features)
+            )
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias
+                else None
+            )
+            return modulated_deform_conv2d(
+                x, offset, mask, weight, bias, stride=self.stride, padding=self.padding,
+                dilation=self.dilation, deformable_groups=self.deformable_groups,
+            )
+
+    class DeformConvPack(DeformConv):
+        """DCNv1 generating its own offsets (zero-init conv, reference ``:200-218``)."""
+
+        @nn.compact
+        def __call__(self, x):
+            k, dg = self.kernel_size, self.deformable_groups
+            offset = nn.Conv(
+                dg * 2 * k * k, (k, k), strides=(self.stride, self.stride),
+                padding=[(self.padding, self.padding)] * 2,
+                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                name="conv_offset",
+            )(x)
+            weight = self.param(
+                "weight", torch_conv_kernel_init, (k, k, x.shape[-1], self.features)
+            )
+            return deform_conv2d(
+                x, offset, weight, stride=self.stride, padding=self.padding,
+                dilation=self.dilation, deformable_groups=dg,
+            )
+
+    class ModulatedDeformConvPack(nn.Module):
+        """DCNv2 generating offsets+mask; ``extra_offset_mask`` takes separate
+        offset features (EDVR's mode, reference ``:259-291``)."""
+
+        features: int
+        kernel_size: int = 3
+        stride: int = 1
+        padding: int = 0
+        dilation: int = 1
+        deformable_groups: int = 1
+        extra_offset_mask: bool = False
+
+        @nn.compact
+        def __call__(self, x, offset_features=None):
+            k, dg = self.kernel_size, self.deformable_groups
+            src = offset_features if self.extra_offset_mask else x
+            om = nn.Conv(
+                dg * 3 * k * k, (k, k), strides=(self.stride, self.stride),
+                padding=[(self.padding, self.padding)] * 2,
+                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                name="conv_offset_mask",
+            )(src)
+            o1, o2, mask = jnp.split(om, 3, axis=-1)
+            offset = jnp.concatenate([o1, o2], axis=-1)
+            mask = jax.nn.sigmoid(mask)
+            weight = self.param(
+                "weight", torch_conv_kernel_init, (k, k, x.shape[-1], self.features)
+            )
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            return modulated_deform_conv2d(
+                x, offset, mask, weight, bias, stride=self.stride, padding=self.padding,
+                dilation=self.dilation, deformable_groups=dg,
+            )
+
+    return DeformConv, ModulatedDeformConv, DeformConvPack, ModulatedDeformConvPack
+
+
+DeformConv, ModulatedDeformConv, DeformConvPack, ModulatedDeformConvPack = _make_modules()

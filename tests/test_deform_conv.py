@@ -126,3 +126,47 @@ def test_edvr_init_dcn_is_half_identity_conv():
     b = variables["params"]["bias"]
     want = 0.5 * np.asarray(_regular_conv(x, w)) + np.asarray(b)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
+
+def test_dcn_module_wrappers():
+    """All four reference wrapper classes exist and behave at init:
+    Pack variants have zero-init offset convs → DCNv1 Pack == plain conv,
+    DCNv2 Pack == 0.5·conv + bias."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.ops.deform_conv import (
+        DeformConv,
+        DeformConvPack,
+        ModulatedDeformConv,
+        ModulatedDeformConvPack,
+    )
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+
+    m = DeformConvPack(features=6, kernel_size=3, padding=1, deformable_groups=2)
+    v = m.init(jax.random.PRNGKey(0), x)
+    got = m.apply(v, x)
+    want = _regular_conv(x, v["params"]["weight"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+    m2 = ModulatedDeformConvPack(features=6, kernel_size=3, padding=1, deformable_groups=2)
+    v2 = m2.init(jax.random.PRNGKey(1), x)
+    got2 = m2.apply(v2, x)
+    want2 = 0.5 * np.asarray(_regular_conv(x, v2["params"]["weight"])) + np.asarray(
+        v2["params"]["bias"]
+    )
+    np.testing.assert_allclose(np.asarray(got2), want2, atol=1e-4, rtol=1e-4)
+
+    # external-offset variants accept explicit offsets/mask
+    offset = np.zeros((1, 8, 8, 2 * 2 * 9), np.float32)
+    mask = np.ones((1, 8, 8, 2 * 9), np.float32)
+    m3 = DeformConv(features=6, kernel_size=3, padding=1, deformable_groups=2)
+    v3 = m3.init(jax.random.PRNGKey(2), x, offset)
+    np.testing.assert_allclose(
+        np.asarray(m3.apply(v3, x, offset)),
+        np.asarray(_regular_conv(x, v3["params"]["weight"])),
+        atol=1e-4, rtol=1e-4,
+    )
+    m4 = ModulatedDeformConv(features=6, kernel_size=3, padding=1, deformable_groups=2)
+    v4 = m4.init(jax.random.PRNGKey(3), x, offset, mask)
+    out4 = m4.apply(v4, x, offset, mask)
+    assert out4.shape == (1, 8, 8, 6)
