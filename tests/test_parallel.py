@@ -110,3 +110,68 @@ def test_eval_sharded_by_sequence():
     sharded = shard_batch(mesh, batch)
     out8 = forward(replicate_tree(mesh, params), sharded["lr_imgs"], sharded["pos_code"])
     np.testing.assert_allclose(np.asarray(out8), np.asarray(out1), atol=1e-5)
+
+
+def test_trainer_with_mesh_through_config(tmp_path):
+    """The parallel: config section drives a sharded trainer end-to-end."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures import make_acdc_tree
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import Cfg
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main import (
+        train_from_config,
+    )
+
+    tree = make_acdc_tree(tmp_path / "acdc", frames=8, hr_size=(32, 32))
+    cfg = Cfg(
+        {
+            "main": {"random_seed": "vsr", "saved_dir": str(tmp_path / "train")},
+            "parallel": {"num_devices": 8},
+            "dataset": {
+                "name": "AcdcVSRRefineNetDataset",
+                "kwargs": {
+                    "data_dir": str(tree["videos_dir"]),
+                    "downscale_factor": 4,
+                    "pos_code_path": str(tree["pos_code_path"]),
+                    "transforms": [
+                        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+                        {"name": "ToTensor"},
+                    ],
+                    "augments": [
+                        {"name": "RandomCropPatch", "kwargs": {"size": [8, 8], "ratio": 4}}
+                    ],
+                    "num_frames": 3,
+                    "num_updated_frames": 2,
+                },
+            },
+            "dataloader": {
+                "name": "Dataloader",
+                "kwargs": {"train_batch_size": 8, "valid_batch_size": 1,
+                           "shuffle": True, "num_workers": 0, "drop_last": True},
+            },
+            "net": {
+                "name": "RefineNet",
+                "kwargs": {
+                    "in_channels": 1, "out_channels": 1, "num_features": [4, 4],
+                    "upscale_factor": 4, "num_stages": 1, "update_memory": True,
+                    "num_updated_frames": 2, "refine_window_size": 5,
+                    "positional_encoding": True,
+                },
+            },
+            "losses": [{"name": "L1Loss", "weight": 1.0}],
+            "metrics": [{"name": "PSNR"}],
+            "optimizer": {"name": "Adam", "kwargs": {"lr": 0.001}},
+            "logger": {"name": "AcdcVSRLogger", "kwargs": {"dummy_input": [8, 1, 8, 8]}},
+            "monitor": {"name": "Monitor", "kwargs": {
+                "mode": "min", "target": "Loss", "saved_freq": 1, "early_stop": 0}},
+            "trainer": {"name": "AcdcVSRRefineNetTrainer",
+                        "kwargs": {"device": "cpu", "num_epochs": 1}},
+        }
+    )
+    trainer = train_from_config(cfg)
+    assert trainer.mesh is not None and trainer.mesh.shape["data"] == 8
+    # params ended replicated across all 8 devices
+    leaf = jax.tree.leaves(trainer.params)[0]
+    assert len(leaf.devices()) == 8

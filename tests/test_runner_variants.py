@@ -241,3 +241,26 @@ def test_find_latest_checkpoint(tmp_path):
     (tmp_path / "model_90.pth").write_bytes(b"x")
     (tmp_path / "model_100.pth").write_bytes(b"x")
     assert find_latest_checkpoint(tmp_path).name == "model_100.pth"
+
+
+def test_profiling_trace_and_throughput(tmp_path, monkeypatch):
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils.profiling import (
+        Throughput,
+        trace,
+    )
+
+    # no-op without the env var
+    with trace("x"):
+        pass
+    # with the env var it must produce a trace dir (jax.profiler on CPU)
+    monkeypatch.setenv("EVSR_PROFILE_DIR", str(tmp_path))
+    import jax.numpy as jnp
+
+    with trace("region"):
+        float(jnp.sum(jnp.ones((8, 8))))
+    assert (tmp_path / "region").exists()
+
+    t = Throughput()
+    t.update(steps=2, frames=60)
+    s = t.stats()
+    assert s["steps"] == 2 and s["frames"] == 60 and s["frames_per_sec"] > 0
