@@ -251,7 +251,10 @@ class BaseTrainer:
             LOG.info(f"Epoch {self.epoch}.")
             with trace(f"train_epoch_{self.epoch}"):
                 train_log, train_batch, train_outputs = self._run_epoch("training")
-            LOG.info(f"Train log: {train_log}.")
+            LOG.info(
+                f"Train log: {train_log} "
+                f"({self.throughput['train_steps_per_sec']:.2f} steps/sec)."
+            )
             with trace(f"valid_epoch_{self.epoch}"):
                 valid_log, valid_batch, valid_outputs = self._run_epoch("validation")
             LOG.info(f"Valid log: {valid_log}.")

@@ -16,6 +16,8 @@ from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools 
 )
 from fixtures import make_acdc_tree
 
+pytestmark = pytest.mark.slow
+
 FRAMES = 10
 
 # family → (tiny net overrides, dataset overrides)

@@ -20,6 +20,8 @@ from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main i
 )
 from fixtures import make_acdc_tree
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tree(tmp_path_factory):
