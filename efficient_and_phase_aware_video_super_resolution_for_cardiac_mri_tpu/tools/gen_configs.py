@@ -185,7 +185,10 @@ def test_config(family, factor, data_root, out_root, dataset_prefix="Acdc", suff
             {"name": "CardiacPSNR", "kwargs": {"coordinates_path": f"{data_root}/{coords}/coordinates.pkl"}},
             {"name": "CardiacSSIM", "kwargs": {"coordinates_path": f"{data_root}/{coords}/coordinates.pkl"}},
         ],
-        "predictor": {"name": _runner_name(fc, "test", dataset_prefix), "kwargs": {
+        # external evals keep the ACDC predictor: the net was trained on ACDC,
+        # so denormalization must use ACDC stats (reference exp1_x*_dsb15.yaml
+        # pairs Dsb15*Dataset with AcdcVSRRefineNetPredictor)
+        "predictor": {"name": _runner_name(fc, "test", "Acdc"), "kwargs": {
             "device": "cuda:0",
             "saved_dir": f"{out_root}/acdc/{family}/{exp}/test",
             "exported": True}},
