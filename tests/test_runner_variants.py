@@ -264,3 +264,58 @@ def test_profiling_trace_and_throughput(tmp_path, monkeypatch):
     t.update(steps=2, frames=60)
     s = t.stats()
     assert s["steps"] == 2 and s["frames"] == 60 and s["frames_per_sec"] > 0
+
+
+def test_refinenet_trainer_loss_discount_matches_reference_formula():
+    """Training loss = sum over 3*num_stages branches of
+    0.5^(num_stages - branch//3 - 1) * mean-per-frame loss
+    (reference acdc_vsr_refinenet_trainer.py:86-94); eval = last branch only."""
+    import jax.numpy as jnp
+
+    trainer_cls = TRAINERS.get("AcdcVSRRefineNetTrainer")
+    trainer = trainer_cls(loss_fns=[L.L1Loss()], optimizer=None)
+
+    rng = np.random.default_rng(0)
+    num_stages = 3
+    outputs = [jnp.asarray(rng.standard_normal((2, 4, 8, 8, 1)), jnp.float32)
+               for _ in range(3 * num_stages)]
+    targets = jnp.asarray(rng.standard_normal((2, 4, 8, 8, 1)), jnp.float32)
+    batch = {"hr_imgs": targets}
+
+    (got,) = trainer._compute_losses(outputs, batch, training=True)
+    want = sum(
+        (0.5 ** (num_stages - i // 3 - 1)) * float(np.mean(np.abs(np.asarray(o) - np.asarray(targets))))
+        for i, o in enumerate(outputs)
+    )
+    assert float(got) == pytest.approx(want, rel=1e-5)
+
+    (got_eval,) = trainer._compute_losses(outputs, batch, training=False)
+    want_eval = float(np.mean(np.abs(np.asarray(outputs[-1]) - np.asarray(targets))))
+    assert float(got_eval) == pytest.approx(want_eval, rel=1e-5)
+
+
+def test_log_weighting_uses_configured_batch_size():
+    """Quirk 8 replicated: the log weight is the CONFIGURED batch size
+    (and x T for VSR), regardless of actual last-batch size."""
+    net = nets.EDSRNet(1, 1, num_resblocks=1, num_features=4, upscale_factor=4)
+    rng = np.random.default_rng(4)
+    items = [
+        {
+            "lr_img": rng.standard_normal((8, 8, 1)).astype(np.float32),
+            "hr_img": rng.standard_normal((32, 32, 1)).astype(np.float32),
+            "index": i,
+        }
+        for i in range(3)  # batch_size 2, drop_last False → last batch has 1
+    ]
+    trainer = _make_trainer("AcdcSISRTrainer", net, items)
+    assert trainer._log_weight({"anything": None}, "training") == 2
+
+    vsr_cls = TRAINERS.get("AcdcVSRRefineNetTrainer")
+    vsr = vsr_cls(
+        train_dataloader=trainer.train_dataloader,
+        valid_dataloader=trainer.valid_dataloader,
+        loss_fns=[L.L1Loss()],
+        optimizer=None,
+    )
+    batch = {"lr_imgs": np.zeros((2, 19, 8, 8, 1), np.float32)}
+    assert vsr._log_weight(batch, "training") == 2 * 19  # B x T(incl. warm-up)
