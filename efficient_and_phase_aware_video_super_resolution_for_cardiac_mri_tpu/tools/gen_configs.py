@@ -199,11 +199,14 @@ def test_config(family, factor, data_root, out_root, dataset_prefix="Acdc", suff
     return cfg
 
 
-def bicubic_test_config(factor, data_root, out_root):
+def bicubic_test_config(factor, data_root, out_root, dataset_prefix="Acdc", suffix=""):
+    data_dir = "acdc_preprocessed" if dataset_prefix == "Acdc" else "dsb15_preprocessed"
+    coords = "acdc_cropped" if dataset_prefix == "Acdc" else "dsb15_cropped"
+    saved_dir = f"{out_root}/acdc/bicubic/exp1_x{factor}{suffix}/test"
     return {
-        "main": {"saved_dir": f"{out_root}/acdc/bicubic/exp1_x{factor}/test"},
-        "dataset": {"name": "AcdcSISRDataset", "kwargs": {
-            "data_dir": f"{data_root}/acdc_preprocessed/imgs",
+        "main": {"saved_dir": saved_dir},
+        "dataset": {"name": f"{dataset_prefix}SISRDataset", "kwargs": {
+            "data_dir": f"{data_root}/{data_dir}/imgs",
             "downscale_factor": factor, "transforms": _transforms()}},
         "dataloader": {"name": "Dataloader", "kwargs": {
             "batch_size": 1, "shuffle": False, "num_workers": 8}},
@@ -212,12 +215,15 @@ def bicubic_test_config(factor, data_root, out_root):
         "metrics": [
             {"name": "PSNR"},
             {"name": "SSIM"},
-            {"name": "CardiacPSNR", "kwargs": {"coordinates_path": f"{data_root}/acdc_cropped/coordinates.pkl"}},
-            {"name": "CardiacSSIM", "kwargs": {"coordinates_path": f"{data_root}/acdc_cropped/coordinates.pkl"}},
+            {"name": "CardiacPSNR", "kwargs": {"coordinates_path": f"{data_root}/{coords}/coordinates.pkl"}},
+            {"name": "CardiacSSIM", "kwargs": {"coordinates_path": f"{data_root}/{coords}/coordinates.pkl"}},
         ],
+        # external evals keep the ACDC predictor (ACDC denorm stats) — see
+        # test_config; reference pairs Dsb15SISRDataset with AcdcSISRPredictor
+        # (/root/reference/configs/test/bicubic/exp1_x4_dsb15.yaml)
         "predictor": {"name": "AcdcSISRPredictor", "kwargs": {
             "device": "cuda:0",
-            "saved_dir": f"{out_root}/acdc/bicubic/exp1_x{factor}/test",
+            "saved_dir": saved_dir,
             "exported": True}},
     }
 
@@ -242,13 +248,22 @@ def main(out: Path, data_root: str, models_root: str):
             _dump(test_config(family, factor, data_root, models_root),
                   out / "test" / family / f"exp1_x{factor}.yaml")
             count += 2
-    # DSB15 external eval for the flagship (trained on ACDC, eval'd on DSB15
-    # with ACDC normalization — reference exp1_x*_dsb15 configs)
+    # DSB15 external eval for every family (trained on ACDC, eval'd on DSB15
+    # with ACDC normalization — the reference ships exp*_x*_dsb15.yaml for
+    # each committed family, e.g. configs/test/{bicubic,edsr_net,duf_net,
+    # rbp_net,toflow_net,edvr_net,frvsr_net,refine_net}/exp1_x4_dsb15.yaml)
     for factor in FACTORS:
-        cfg = test_config("refine_net", factor, data_root, models_root,
-                          dataset_prefix="Dsb15", suffix="_dsb15")
-        _dump(cfg, out / "test" / "refine_net" / f"exp1_x{factor}_dsb15.yaml")
+        _dump(bicubic_test_config(factor, data_root, models_root,
+                                  dataset_prefix="Dsb15", suffix="_dsb15"),
+              out / "test" / "bicubic" / f"exp1_x{factor}_dsb15.yaml")
         count += 1
+        for family, fc in _families(factor).items():
+            if factor not in fc.get("factors", FACTORS):
+                continue
+            cfg = test_config(family, factor, data_root, models_root,
+                              dataset_prefix="Dsb15", suffix="_dsb15")
+            _dump(cfg, out / "test" / family / f"exp1_x{factor}_dsb15.yaml")
+            count += 1
     print(f"Wrote {count} configs under {out}.")
 
 

@@ -85,3 +85,49 @@ def test_registry_build():
 
 def test_package_importable():
     assert evsr.__version__
+
+
+def _zoo_files(root):
+    from pathlib import Path
+
+    return sorted(p for p in Path(root).rglob("*.yaml") if "example" not in p.name)
+
+
+@pytest.mark.parametrize(
+    "root", ["/root/repo/configs", "/root/reference/configs"], ids=["ours", "reference"]
+)
+def test_config_zoo_resolves(root):
+    """Every YAML in the zoo (ours AND the reference's, loaded verbatim) must
+    name only components that exist in the registries — the config surface
+    contract (reference configs are the compatibility target, SURVEY §2.1)."""
+    from pathlib import Path
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import (
+        config as C,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main import (
+        _import_components,
+    )
+
+    _import_components()
+    files = _zoo_files(root)
+    assert len(files) >= 50 if "repo" in root else len(files) >= 55
+    for path in files:
+        cfg = C.load_config(path)
+        assert cfg.dataset.name in C.DATASETS, (path, cfg.dataset.name)
+        assert cfg.net.name in C.NETS, (path, cfg.net.name)
+        for loss in cfg.losses:
+            assert loss["name"] in C.LOSSES, (path, loss["name"])
+        for metric in cfg.get("metrics", []):
+            assert metric["name"] in C.METRICS, (path, metric["name"])
+        if "trainer" in cfg:
+            assert cfg.trainer.name in C.TRAINERS, (path, cfg.trainer.name)
+            assert cfg.optimizer.name in C.OPTIMIZERS, (path, cfg.optimizer.name)
+            assert cfg.logger.name in C.LOGGERS, (path, cfg.logger.name)
+            assert cfg.monitor.name in C.MONITORS, (path, cfg.monitor.name)
+        else:
+            assert cfg.predictor.name in C.PREDICTORS, (path, cfg.predictor.name)
+        for t in cfg.dataset.kwargs.get("transforms", []):
+            assert t["name"] in C.TRANSFORMS, (path, t["name"])
+        for t in cfg.dataset.kwargs.get("augments", []):
+            assert t["name"] in C.TRANSFORMS, (path, t["name"])

@@ -92,6 +92,42 @@ def test_generated_config_trains_and_tests(tmp_path_factory, tree, family):
     assert predictor.log["PSNR"] > 0
 
 
+@pytest.mark.parametrize("family", ["edsr_net", "duf_net"])
+def test_generated_dsb15_external_eval(tmp_path_factory, tree, family):
+    """DSB15 external-eval configs: train on ACDC, evaluate via the generated
+    exp1_x4_dsb15 config (Dsb15* dataset + ACDC predictor/denorm stats), as the
+    reference does in configs/test/<family>/exp1_x4_dsb15.yaml."""
+    out_dir = tmp_path_factory.mktemp(f"{family}_dsb15")
+    factor = 4
+    train_cfg = gen_configs.train_config(family, factor, "UNUSED", "UNUSED")
+    trainer = train_from_config(_patch(Cfg(train_cfg), tree, out_dir, family, "train"))
+    assert np.isfinite(trainer.monitor.best)
+
+    test_cfg = gen_configs.test_config(family, factor, "UNUSED", "UNUSED",
+                                       dataset_prefix="Dsb15", suffix="_dsb15")
+    assert test_cfg["dataset"]["name"].startswith("Dsb15")
+    assert test_cfg["predictor"]["name"].startswith("Acdc")  # ACDC denorm stats
+    predictor = run_test_config(_patch(Cfg(test_cfg), tree, out_dir, family, "test"))
+    assert np.isfinite(predictor.log["Loss"])
+    assert predictor.log["PSNR"] > 0
+
+
+def test_generated_dsb15_bicubic_config(tmp_path_factory, tree):
+    out_dir = tmp_path_factory.mktemp("bicubic_dsb15")
+    cfg = Cfg(gen_configs.bicubic_test_config(4, "UNUSED", "UNUSED",
+                                              dataset_prefix="Dsb15", suffix="_dsb15"))
+    assert cfg.dataset.name == "Dsb15SISRDataset"
+    cfg.dataset.kwargs.data_dir = str(tree["imgs_dir"])
+    cfg.main.saved_dir = str(out_dir)
+    cfg.predictor.kwargs.update(device="cpu", exported=False, saved_dir=str(out_dir))
+    cfg.dataloader.kwargs.update(num_workers=0)
+    for m in list(cfg.metrics):
+        if "Cardiac" in m["name"]:
+            m.kwargs.coordinates_path = str(tree["coordinates_path"])
+    predictor = run_test_config(cfg)
+    assert predictor.log["PSNR"] > 10
+
+
 def test_generated_bicubic_config(tmp_path_factory, tree):
     out_dir = tmp_path_factory.mktemp("bicubic")
     cfg = Cfg(gen_configs.bicubic_test_config(4, "UNUSED", "UNUSED"))
