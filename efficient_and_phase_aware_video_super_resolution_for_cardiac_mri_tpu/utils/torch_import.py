@@ -304,8 +304,58 @@ def drf_net_key_map(k: str):
     return _srfb_like_key_map(k, "in_block", step_prefix=("steps",))
 
 
+_EDVR_TOP_CONVS = {
+    "conv_first", "conv_first_1", "conv_first_2", "conv_first_3", "conv_1x1",
+    "fea_L2_conv1", "fea_L2_conv2", "fea_L3_conv1", "fea_L3_conv2",
+    "upconv1", "upconv2", "HRconv", "conv_last", "tsa_fusion",
+}
+
+
+def edvr_net_key_map(k: str):
+    """EDVRNet torch state_dict → flax paths (reference ``EDVR_arch.py:13-321``,
+    DCN pack weights ``dcn/deform_conv.py:223-291``)."""
+    # plain top-level convs (incl. the non-TSA 1x1 fusion conv, which torch
+    # names 'tsa_fusion' too — EDVR_arch.py:54)
+    m = re.fullmatch(r"(\w+)\.(weight|bias)", k)
+    if m and m[1] in _EDVR_TOP_CONVS:
+        return _wb((m[1],), m[2])
+    # make_layer sequentials: feature_extraction.{i}, recon_trunk.{i}
+    m = re.fullmatch(r"(feature_extraction|recon_trunk)\.(\d+)\.(conv\d)\.(weight|bias)", k)
+    if m:
+        return _wb((f"{m[1]}{m[2]}", m[3]), m[4])
+    # predeblur pyramid (EDVR_arch.py:148-188)
+    m = re.fullmatch(
+        r"pre_deblur\.(conv_first(?:_\d)?|deblur_L\d_conv)\.(weight|bias)", k
+    )
+    if m:
+        return _wb(("pre_deblur", m[1]), m[2])
+    m = re.fullmatch(r"pre_deblur\.(RB_L\d_\d)\.(conv\d)\.(weight|bias)", k)
+    if m:
+        return _wb(("pre_deblur", m[1], m[2]), m[3])
+    # PCD alignment: offset/fea convs + the three DCN pack params per level
+    m = re.fullmatch(
+        r"pcd_align\.((?:L\d|cas)_(?:offset_conv\d|fea_conv))\.(weight|bias)", k
+    )
+    if m:
+        return _wb(("pcd_align", m[1]), m[2])
+    m = re.fullmatch(r"pcd_align\.((?:L\d|cas)_dcnpack)\.conv_offset_mask\.(weight|bias)", k)
+    if m:
+        return _wb(("pcd_align", m[1], "conv_offset_mask"), m[2])
+    m = re.fullmatch(r"pcd_align\.((?:L\d|cas)_dcnpack)\.(weight|bias)", k)
+    if m:
+        # DCNPack stores its deform-conv weight as a raw param named 'weight'
+        path = ("pcd_align", m[1], "weight" if m[2] == "weight" else "bias")
+        return path, (_conv_w if m[2] == "weight" else _as_np)
+    # TSA fusion submodule convs
+    m = re.fullmatch(r"tsa_fusion\.(\w+)\.(weight|bias)", k)
+    if m:
+        return _wb(("tsa_fusion", m[1]), m[2])
+    raise KeyError(f"Unmapped EDVRNet torch key: {k}")
+
+
 MODEL_KEY_MAPS = {
     "RefineNet": refine_net_key_map,
+    "EDVRNet": edvr_net_key_map,
     "EDSRNet": edsr_net_key_map,
     "TOFlowNet": toflow_net_key_map,
     "FRVSRNet": frvsr_net_key_map,

@@ -38,6 +38,21 @@ def load_reference_module(relpath: str, modname: str):
     return module
 
 
+def load_reference_edvr():
+    """Reference EDVR_arch with the CUDA ``dcn`` extension replaced by the
+    torch oracle stub (tests/dcn_oracle.py) so the full net runs on CPU."""
+    from dcn_oracle import install_dcn_stub
+
+    install_dcn_stub()
+    load_reference_module("src/model/nets/base_net.py", "src.model.nets.base_net")
+    load_reference_module(
+        "src/model/nets/edvr_net/arch_util.py", "src.model.nets.edvr_net.arch_util"
+    )
+    return load_reference_module(
+        "src/model/nets/edvr_net/EDVR_arch.py", "src.model.nets.edvr_net.EDVR_arch"
+    )
+
+
 def load_reference_refine_net():
     """Reference RefineNet patched to run on CPU (its ``init_hidden``
     hardcodes ``.cuda()`` — SURVEY.md §5 quirk 2)."""

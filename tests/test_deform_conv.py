@@ -170,3 +170,135 @@ def test_dcn_module_wrappers():
     v4 = m4.init(jax.random.PRNGKey(3), x, offset, mask)
     out4 = m4.apply(v4, x, offset, mask)
     assert out4.shape == (1, 8, 8, 6)
+
+
+# ---------------------------------------------------------------------------
+# Independent numeric oracle: brute-force port of the CUDA loop semantics
+# (deform_conv_cuda_kernel.cu:190-276,570-631) — see tests/dcn_oracle.py.
+
+from dcn_oracle import modulated_deform_conv_naive, modulated_deform_conv_torch
+
+
+def _oracle_case(seed, Ho_in=6, Wo_in=5, cin=4, cout=6, k=3, dg=1, with_mask=True):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((2, Ho_in, Wo_in, cin)).astype(np.float32)
+    # offsets in ±2.5 exercise interior, boundary and out-of-image taps
+    return dict(
+        x=x,
+        weight=rng.standard_normal((k, k, cin, cout)).astype(np.float32),
+        bias=rng.standard_normal((cout,)).astype(np.float32),
+        rng=rng,
+        dg=dg,
+        k=k,
+        with_mask=with_mask,
+    )
+
+
+def _offsets_for(case, Ho, Wo, scale=2.5):
+    rng, dg, k = case["rng"], case["dg"], case["k"]
+    B = case["x"].shape[0]
+    offset = (rng.uniform(-scale, scale, (B, Ho, Wo, 2 * dg * k * k))).astype(np.float32)
+    mask = (
+        rng.uniform(0.0, 1.0, (B, Ho, Wo, dg * k * k)).astype(np.float32)
+        if case["with_mask"]
+        else None
+    )
+    return offset, mask
+
+
+@pytest.mark.parametrize(
+    "stride,padding,dilation,dg,with_mask",
+    [
+        (1, 1, 1, 1, True),
+        (1, 1, 1, 2, True),
+        (2, 1, 1, 1, True),
+        (1, 0, 1, 1, True),
+        (1, 2, 2, 2, True),
+        (1, 1, 1, 2, False),  # DCNv1 (no mask)
+        (2, 2, 2, 1, True),
+    ],
+)
+def test_forward_matches_bruteforce_cuda_port(stride, padding, dilation, dg, with_mask):
+    case = _oracle_case(seed=stride * 100 + padding * 10 + dilation + dg, dg=dg,
+                        with_mask=with_mask)
+    x, weight, bias = case["x"], case["weight"], case["bias"]
+    B, H, W, Cin = x.shape
+    k = case["k"]
+    Ho = (H + 2 * padding - (dilation * (k - 1) + 1)) // stride + 1
+    Wo = (W + 2 * padding - (dilation * (k - 1) + 1)) // stride + 1
+    offset, mask = _offsets_for(case, Ho, Wo)
+
+    got = deform_conv2d(
+        x, offset, weight, mask=mask, bias=bias,
+        stride=stride, padding=padding, dilation=dilation, deformable_groups=dg,
+    )
+    want = modulated_deform_conv_naive(
+        x.transpose(0, 3, 1, 2),
+        offset.transpose(0, 3, 1, 2),
+        None if mask is None else mask.transpose(0, 3, 1, 2),
+        weight.transpose(3, 2, 0, 1),
+        bias,
+        stride=stride, padding=padding, dilation=dilation, deformable_groups=dg,
+    ).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=1e-4)
+
+
+def test_torch_port_matches_naive_oracle():
+    import torch
+
+    case = _oracle_case(seed=7, dg=2)
+    x, weight, bias = case["x"], case["weight"], case["bias"]
+    offset, mask = _offsets_for(case, x.shape[1], x.shape[2])
+    want = modulated_deform_conv_naive(
+        x.transpose(0, 3, 1, 2), offset.transpose(0, 3, 1, 2),
+        mask.transpose(0, 3, 1, 2), weight.transpose(3, 2, 0, 1), bias,
+        stride=1, padding=1, dilation=1, deformable_groups=2,
+    )
+    got = modulated_deform_conv_torch(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(offset.transpose(0, 3, 1, 2)),
+        torch.from_numpy(mask.transpose(0, 3, 1, 2)),
+        torch.from_numpy(weight.transpose(3, 2, 0, 1)),
+        torch.from_numpy(bias),
+        stride=1, padding=1, dilation=1, deformable_groups=2,
+    )
+    np.testing.assert_allclose(got.numpy(), want, atol=3e-5, rtol=1e-4)
+
+
+def test_gradients_match_torch_oracle():
+    """Grads w.r.t. x/offset/mask/weight/bias: jax autodiff of the XLA
+    implementation vs torch autograd of the independent oracle port."""
+    import torch
+
+    case = _oracle_case(seed=11, dg=2)
+    x, weight, bias = case["x"], case["weight"], case["bias"]
+    offset, mask = _offsets_for(case, x.shape[1], x.shape[2])
+    cot = np.random.default_rng(12).standard_normal(
+        (x.shape[0], x.shape[1], x.shape[2], weight.shape[-1])
+    ).astype(np.float32)
+
+    def loss_jax(x_, off_, msk_, w_, b_):
+        out = deform_conv2d(x_, off_, w_, mask=msk_, bias=b_, stride=1, padding=1,
+                            dilation=1, deformable_groups=2)
+        return jnp.sum(out * cot)
+
+    jg = jax.grad(loss_jax, argnums=(0, 1, 2, 3, 4))(x, offset, mask, weight, bias)
+
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2)).requires_grad_(True)
+    toff = torch.from_numpy(offset.transpose(0, 3, 1, 2)).requires_grad_(True)
+    tmsk = torch.from_numpy(mask.transpose(0, 3, 1, 2)).requires_grad_(True)
+    tw = torch.from_numpy(weight.transpose(3, 2, 0, 1)).requires_grad_(True)
+    tb = torch.from_numpy(bias).requires_grad_(True)
+    out = modulated_deform_conv_torch(tx, toff, tmsk, tw, tb, stride=1, padding=1,
+                                      dilation=1, deformable_groups=2)
+    (out * torch.from_numpy(cot.transpose(0, 3, 1, 2))).sum().backward()
+
+    np.testing.assert_allclose(np.asarray(jg[0]), tx.grad.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(jg[1]), toff.grad.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(jg[2]), tmsk.grad.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(jg[3]), tw.grad.numpy().transpose(2, 3, 1, 0),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(jg[4]), tb.grad.numpy(), atol=1e-4, rtol=1e-3)

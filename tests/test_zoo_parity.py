@@ -198,3 +198,98 @@ def test_grid_sample_parity_against_torch():
         ).numpy()
         got = np.asarray(grid_sample(x, grid, padding_mode=pad)).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# EDVR: full-net parity against the reference EDVR_arch running on CPU with
+# the CUDA dcn extension replaced by the independent torch oracle
+# (tests/dcn_oracle.py — itself verified against a scalar-loop port of
+# deform_conv_cuda_kernel.cu in test_deform_conv.py).
+
+def _edvr_pair(seed, **kwargs):
+    import torch
+
+    from reference_loader import load_reference_edvr
+
+    ref_mod = load_reference_edvr()
+    torch.manual_seed(seed)
+    defaults = dict(in_channels=1, out_channels=1, nf=8, nframes=5, groups=2,
+                    front_RBs=2, back_RBs=2)
+    defaults.update(kwargs)
+    ref = ref_mod.EDVRNet(**defaults)
+    # the Pack conv_offset_mask is zero-init (reference deform_conv.py:270-272);
+    # randomize it so the deformable sampling path is actually exercised
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if "conv_offset_mask" in name:
+                p.normal_(0.0, 0.08)
+    ref.eval()
+    variables = variables_from_torch_state_dict("EDVRNet", ref.state_dict())
+    model = M.EDVRNet(**defaults)
+    return ref, model, variables
+
+
+@pytest.mark.parametrize(
+    "kwargs,hw",
+    [
+        ({}, (12, 12)),
+        ({"predeblur": True}, (12, 12)),
+        ({"w_TSA": False}, (12, 12)),
+        ({}, (10, 9)),  # pad-to-/4 path (EDVR_arch.py:72-80)
+    ],
+    ids=["default", "predeblur", "no_tsa", "pad_path"],
+)
+def test_edvr_full_net_parity(kwargs, hw):
+    import torch
+
+    ref, model, variables = _edvr_pair(seed=3, **kwargs)
+    lr = np.random.default_rng(3).standard_normal((2, 5, *hw, 1)).astype(np.float32)
+    with torch.no_grad():
+        want = _nhwc(ref(_to_torch_frames(lr)))
+    got = model.apply(variables, lr)
+    _check(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_edvr_tsa_fusion_piecewise_parity():
+    """TSA fusion in isolation (EDVR_arch.py:254-321) on random aligned
+    features — catches errors the full-net residual base could mask."""
+    import torch
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models.edvr_net import (
+        TSAFusion,
+    )
+    from reference_loader import load_reference_edvr
+
+    ref_mod = load_reference_edvr()
+    torch.manual_seed(4)
+    ref = ref_mod.TSA_Fusion(nf=8, nframes=5, center=2).eval()
+    sd = {f"tsa_fusion.{k}": v for k, v in ref.state_dict().items()}
+    variables = variables_from_torch_state_dict("EDVRNet", sd)
+    variables = {"params": variables["params"]["tsa_fusion"]}
+    aligned = np.random.default_rng(4).standard_normal((2, 5, 12, 12, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = _nhwc(ref(torch.from_numpy(aligned.transpose(0, 1, 4, 2, 3)).contiguous()))
+    got = TSAFusion(nf=8, nframes=5, center=2).apply(variables, aligned)
+    _check(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_edvr_predeblur_piecewise_parity():
+    """Predeblur pyramid in isolation (EDVR_arch.py:148-188)."""
+    import torch
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models.edvr_net import (
+        PredeblurPyramid,
+    )
+    from reference_loader import load_reference_edvr
+
+    ref_mod = load_reference_edvr()
+    torch.manual_seed(5)
+    ref = ref_mod.Predeblur_ResNet_Pyramid(in_channels=1, nf=8).eval()
+    sd = {f"pre_deblur.{k}": v for k, v in ref.state_dict().items()}
+    variables = variables_from_torch_state_dict("EDVRNet", sd)
+    variables = {"params": variables["params"]["pre_deblur"]}
+    x = np.random.default_rng(5).standard_normal((3, 12, 12, 1)).astype(np.float32)
+    with torch.no_grad():
+        want = _nhwc(ref(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+    got = PredeblurPyramid(in_channels=1, nf=8).apply(variables, x)
+    _check(got, want, atol=2e-4, rtol=1e-3)
