@@ -1,86 +1,222 @@
 """Cross-framework parity harness (the BASELINE.md ≤0.05 dB contract checker).
 
-Given a reference RefineNet ``.pth`` checkpoint and a preprocessed data tree,
-runs the SAME sequences through (a) this framework's jitted model and (b) the
-dynamically-loaded PyTorch reference model, computes PSNR/SSIM of each against
-the HR ground truth with this framework's metrics, and reports the deltas.
+Given a reference ``.pth`` checkpoint for ANY zoo net and a preprocessed data
+tree, runs the SAME items through (a) this framework's jitted model and (b)
+the dynamically-loaded PyTorch reference model, computes PSNR/SSIM of each
+against the HR ground truth with this framework's metrics, and reports the
+deltas.
 
 The PyTorch reference *framework* (datasets/predictors) needs nibabel and
-cannot run in this image — but its MODEL is pure torch, so the comparison
+cannot run in this image — but its MODELs are pure torch, so the comparison
 runs both models on identically-prepared inputs from our data pipeline.
+(EDVRNet additionally needs the CUDA DCN extension; the harness substitutes
+the brute-force torch oracle from ``tests/dcn_oracle.py`` when available.)
 
 Usage:
-    python -m <pkg>.tools.parity_check CKPT.pth DATA_DIR POS_CODE.pkl \
-        [--factor 4] [--split test] [--max-items N] [--reference /root/reference]
+    python -m <pkg>.tools.parity_check CKPT.pth DATA_DIR [POS_CODE.pkl] \
+        [--net RefineNet] [--factor 4] [--split test] [--max-items N] \
+        [--net-kwargs JSON] [--reference /root/reference]
 """
 from __future__ import annotations
 
 import argparse
 import json
 import sys
+import types
 from pathlib import Path
 
 import numpy as np
 
 from .. import data as _data  # noqa: F401  (populates the dataset registry)
+from .. import models as M
 from ..config import DATASETS
 from ..metrics import PSNR, SSIM
-from ..models import RefineNet
 from ..utils.stats import denormalize
 from ..utils.torch_import import load_torch_checkpoint, variables_from_torch_state_dict
 
-NET_KWARGS = dict(
-    in_channels=1,
-    out_channels=1,
-    num_features=[64, 64, 64],
-    upscale_factor=4,
-    num_stages=3,
-    update_memory=True,
-    num_updated_frames=6,
-    refine_window_size=5,
-    positional_encoding=True,
-)
+# net name → (reference module relpath, workload, default factor-dependent
+# kwargs come from gen_configs._families)
+REF_MODULES = {
+    "RefineNet": "src/model/nets/refine_net.py",
+    "EDSRNet": "src/model/nets/edsr_net.py",
+    "SRFBNet": "src/model/nets/srfb_net.py",
+    "DRFSISRNet": "src/model/nets/drf_sisr_net.py",
+    "DRFNet": "src/model/nets/drf_net.py",
+    "DUFNet": "src/model/nets/duf_net.py",
+    "TOFlowNet": "src/model/nets/toflow_net.py",
+    "RBPNet": "src/model/nets/rbp_net.py",
+    "FRVSRNet": "src/model/nets/frvsr_net.py",
+    "EDVRNet": "src/model/nets/edvr_net/EDVR_arch.py",
+}
+
+NET_TO_FAMILY = {
+    "RefineNet": "refine_net",
+    "EDSRNet": "edsr_net",
+    "SRFBNet": "srfb_net",
+    "DRFSISRNet": "srfb_net",  # same workload/protocol family
+    "DRFNet": "drf_net",
+    "DUFNet": "duf_net",
+    "TOFlowNet": "toflow_net",
+    "RBPNet": "rbp_net",
+    "FRVSRNet": "frvsr_net",
+    "EDVRNet": "edvr_net",
+}
+
+# nets whose flax apply takes train=... (BatchNorm running stats)
+_NEEDS_TRAIN_FLAG = {"TOFlowNet", "DUFNet"}
 
 
-def load_reference_model(reference_root: Path, net_kwargs: dict):
-    """Reference RefineNet, loaded file-by-file (its package __init__ needs
-    nibabel), with the hardcoded .cuda() patched for CPU."""
+def _load_ref_module(reference_root: Path, rel: str, name: str):
     import importlib.util
-    import types
 
+    for i in range(1, len(name.split("."))):
+        pkg = ".".join(name.split(".")[:i])
+        if pkg not in sys.modules:
+            mod = types.ModuleType(pkg)
+            mod.__path__ = []
+            sys.modules[pkg] = mod
+    spec = importlib.util.spec_from_file_location(name, reference_root / rel)
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[name] = module
+    spec.loader.exec_module(module)
+    return module
+
+
+def load_reference_model(reference_root: Path, net_name: str, net_kwargs: dict):
+    """Load the reference net class file-by-file (the reference package
+    ``__init__`` chain needs nibabel) with CPU patches where required."""
     import torch
 
-    def load_mod(rel, name):
-        for i in range(1, len(name.split("."))):
-            pkg = ".".join(name.split(".")[:i])
-            if pkg not in sys.modules:
-                mod = types.ModuleType(pkg)
-                mod.__path__ = []
-                sys.modules[pkg] = mod
-        spec = importlib.util.spec_from_file_location(name, reference_root / rel)
-        module = importlib.util.module_from_spec(spec)
-        sys.modules[name] = module
-        spec.loader.exec_module(module)
-        return module
-
-    load_mod("src/model/nets/base_net.py", "src.model.nets.base_net")
-    rn = load_mod("src/model/nets/refine_net.py", "src.model.nets.refine_net")
-
-    def init_hidden(self, batch_size, height, width):
-        return (
-            torch.zeros(batch_size, self.hidden_dim, height, width),
-            torch.zeros(batch_size, self.hidden_dim, height, width),
+    _load_ref_module(reference_root, "src/model/nets/base_net.py", "src.model.nets.base_net")
+    if net_name == "EDVRNet":
+        try:
+            from dcn_oracle import install_dcn_stub  # tests/ on sys.path
+        except ImportError as e:  # pragma: no cover - depends on CWD
+            raise SystemExit(
+                "EDVRNet parity needs the CPU DCN oracle: run from the repo "
+                "root with tests/ on PYTHONPATH (tests/dcn_oracle.py)."
+            ) from e
+        install_dcn_stub()
+        _load_ref_module(
+            reference_root,
+            "src/model/nets/edvr_net/arch_util.py",
+            "src.model.nets.edvr_net.arch_util",
         )
+    mod = _load_ref_module(
+        reference_root, REF_MODULES[net_name], f"src.model.nets._parity_{net_name}"
+    )
+    if net_name == "RefineNet":
+        # the reference hardcodes .cuda() in init_hidden (SURVEY quirk 2)
+        def init_hidden(self, batch_size, height, width):
+            return (
+                torch.zeros(batch_size, self.hidden_dim, height, width),
+                torch.zeros(batch_size, self.hidden_dim, height, width),
+            )
 
-    rn.ConvLSTMCell.init_hidden = init_hidden
-    return rn.RefineNet(**net_kwargs)
+        mod.ConvLSTMCell.init_hidden = init_hidden
+    return getattr(mod, net_name)(**net_kwargs)
+
+
+def _default_net_kwargs(net_name: str, factor: int) -> dict:
+    from .gen_configs import _families
+
+    fam = _families(factor)[NET_TO_FAMILY[net_name]]
+    kwargs = dict(fam["net"][1])
+    if net_name == "DRFSISRNet":  # srfb family entry names SRFBNet
+        kwargs = {"in_channels": 1, "out_channels": 1, "num_steps": 4,
+                  "num_features": 32, "num_groups": 6, "upscale_factor": factor}
+    return kwargs
+
+
+def _build_dataset(net_name: str, args, net_kwargs: dict):
+    from .gen_configs import _families
+
+    workload = _families(args.factor)[NET_TO_FAMILY[net_name]]["workload"]
+    transforms = [
+        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+        {"name": "ToTensor"},
+    ]
+    common = dict(
+        data_dir=args.data_dir, type=args.split,
+        downscale_factor=args.factor, transforms=transforms,
+    )
+    if workload in ("SISR", "SISRSRFB"):
+        return DATASETS.get("AcdcSISRDataset")(**common), workload
+    num_frames = int(net_kwargs.get("num_frames", net_kwargs.get("nframes", 7)))
+    if workload == "MISR":
+        return DATASETS.get("AcdcMISRDataset")(num_frames=num_frames, **common), workload
+    if workload in ("VSR", "FRVSR"):
+        return DATASETS.get("AcdcVSRDataset")(num_frames=num_frames, **common), workload
+    if workload == "VSRRefineNet":
+        if not args.pos_code_path:
+            raise SystemExit("RefineNet parity needs POS_CODE.pkl.")
+        return (
+            DATASETS.get("AcdcVSRRefineNetDataset")(
+                pos_code_path=str(args.pos_code_path),
+                num_frames=num_frames,
+                num_updated_frames=net_kwargs["num_updated_frames"],
+                **common,
+            ),
+            workload,
+        )
+    raise SystemExit(f"Unknown workload {workload!r} for net {net_name!r}.")
+
+
+def _run_ours(net_name: str, model, variables, item, workload):
+    import jax
+
+    kwargs = {"train": False} if net_name in _NEEDS_TRAIN_FLAG else {}
+
+    @jax.jit
+    def forward(v, *inputs):
+        out = model.apply(v, *inputs, **kwargs)
+        if net_name in ("SRFBNet", "DRFSISRNet", "RefineNet"):
+            out = out[-1]
+        elif net_name == "FRVSRNet":
+            out = out[0]
+        return out
+
+    if workload in ("SISR", "SISRSRFB"):
+        out = forward(variables, item["lr_img"][None])
+    elif workload == "VSRRefineNet":
+        out = forward(variables, item["lr_imgs"][None], item["pos_code"][None])
+    else:
+        out = forward(variables, item["lr_imgs"][None])
+    return np.asarray(out)
+
+
+def _run_reference(net_name: str, ref, item, workload):
+    import torch
+
+    def frames(arr):  # (T, H, W, C) → list of (1, C, H, W)
+        return [
+            torch.from_numpy(arr[t].transpose(2, 0, 1))[None].contiguous()
+            for t in range(arr.shape[0])
+        ]
+
+    with torch.no_grad():
+        if workload in ("SISR", "SISRSRFB"):
+            out = ref(torch.from_numpy(item["lr_img"].transpose(2, 0, 1))[None])
+            if workload == "SISRSRFB":
+                out = out[-1]
+            return out.numpy().transpose(0, 2, 3, 1)
+        if workload == "VSRRefineNet":
+            outs = ref(frames(item["lr_imgs"]), torch.from_numpy(item["pos_code"][None]))[-1]
+            return np.stack([o.numpy() for o in outs], 1).transpose(0, 1, 3, 4, 2)
+        outs = ref(frames(item["lr_imgs"]))
+        if net_name == "FRVSRNet":
+            outs = outs[0]
+        if net_name in ("DRFNet", "FRVSRNet"):  # per-frame list
+            return np.stack([o.numpy() for o in outs], 1).transpose(0, 1, 3, 4, 2)
+        return outs.numpy().transpose(0, 2, 3, 1)  # MISR single frame
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Reference-vs-TPU parity check.")
     parser.add_argument("checkpoint", type=Path, help="reference .pth checkpoint")
-    parser.add_argument("data_dir", type=Path, help="preprocessed videos/ tree")
-    parser.add_argument("pos_code_path", type=Path)
+    parser.add_argument("data_dir", type=Path, help="preprocessed videos/ or imgs/ tree")
+    parser.add_argument("pos_code_path", type=Path, nargs="?", default=None)
+    parser.add_argument("--net", default="RefineNet", choices=sorted(REF_MODULES))
     parser.add_argument("--factor", type=int, default=4)
     parser.add_argument("--split", default="test")
     parser.add_argument("--max-items", type=int, default=8)
@@ -88,30 +224,17 @@ def main(argv=None):
     parser.add_argument("--net-kwargs", type=json.loads, default=None)
     args = parser.parse_args(argv)
 
-    import jax
     import torch
 
-    net_kwargs = args.net_kwargs or dict(NET_KWARGS, upscale_factor=args.factor)
-    U = net_kwargs["num_updated_frames"]
-
-    dataset = DATASETS.get("AcdcVSRRefineNetDataset")(
-        data_dir=args.data_dir,
-        type=args.split,
-        downscale_factor=args.factor,
-        transforms=[
-            {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
-            {"name": "ToTensor"},
-        ],
-        pos_code_path=str(args.pos_code_path),
-        num_frames=7,
-        num_updated_frames=U,
-    )
+    net_name = args.net
+    net_kwargs = args.net_kwargs or _default_net_kwargs(net_name, args.factor)
+    dataset, workload = _build_dataset(net_name, args, net_kwargs)
 
     state = load_torch_checkpoint(args.checkpoint)
-    variables = variables_from_torch_state_dict("RefineNet", state)
-    model = RefineNet(**net_kwargs)
+    variables = variables_from_torch_state_dict(net_name, state)
+    model = getattr(M, net_name)(**net_kwargs)
 
-    ref = load_reference_model(args.reference, net_kwargs)
+    ref = load_reference_model(args.reference, net_name, net_kwargs)
     ref.load_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()}
         if not hasattr(next(iter(state.values())), "detach")
@@ -119,45 +242,42 @@ def main(argv=None):
     )
     ref.eval()
 
-    @jax.jit
-    def forward(v, lr, pos):
-        return model.apply(v, lr, pos)[-1]
-
     psnr, ssim = PSNR(), SSIM()
     rows = []
     for idx in range(min(len(dataset), args.max_items)):
         item = dataset[idx]
-        lr = item["lr_imgs"][None]  # (1, T, H, W, 1)
-        hr = item["hr_imgs"][None]
-        pos = item["pos_code"][None]
-
-        ours = np.asarray(forward(variables, lr, pos))
-
-        t_inputs = [
-            torch.from_numpy(lr[:, t].transpose(0, 3, 1, 2)).contiguous()
-            for t in range(lr.shape[1])
-        ]
-        with torch.no_grad():
-            theirs_list = ref(t_inputs, torch.from_numpy(pos))[-1]
-        theirs = np.stack([o.numpy() for o in theirs_list], axis=1).transpose(0, 1, 3, 4, 2)
+        hr = item["hr_imgs" if "hr_imgs" in item else "hr_img"][None]
+        ours = _run_ours(net_name, model, variables, item, workload)
+        theirs = _run_reference(net_name, ref, item, workload)
 
         hr_d = np.asarray(denormalize(hr, "acdc"))
         ours_d = np.asarray(denormalize(ours, "acdc"))
         theirs_d = np.asarray(denormalize(theirs, "acdc"))
-        row = {
-            "item": idx,
-            "psnr_ours": float(np.mean([float(psnr(ours_d[:, t], hr_d[:, t])) for t in range(hr.shape[1])])),
-            "psnr_ref": float(np.mean([float(psnr(theirs_d[:, t], hr_d[:, t])) for t in range(hr.shape[1])])),
-            "ssim_ours": float(np.mean([float(ssim(ours_d[:, t], hr_d[:, t])) for t in range(hr.shape[1])])),
-            "ssim_ref": float(np.mean([float(ssim(theirs_d[:, t], hr_d[:, t])) for t in range(hr.shape[1])])),
-            "max_abs_output_diff": float(np.abs(ours_d - theirs_d).max()),
-        }
-        row["psnr_delta"] = row["psnr_ours"] - row["psnr_ref"]
-        row["ssim_delta"] = row["ssim_ours"] - row["ssim_ref"]
-        rows.append(row)
+        if hr_d.ndim == 5:  # per-frame protocol (VSR families)
+            T = hr_d.shape[1]
+            p_ours = float(np.mean([float(psnr(ours_d[:, t], hr_d[:, t])) for t in range(T)]))
+            p_ref = float(np.mean([float(psnr(theirs_d[:, t], hr_d[:, t])) for t in range(T)]))
+            s_ours = float(np.mean([float(ssim(ours_d[:, t], hr_d[:, t])) for t in range(T)]))
+            s_ref = float(np.mean([float(ssim(theirs_d[:, t], hr_d[:, t])) for t in range(T)]))
+        else:
+            p_ours, p_ref = float(psnr(ours_d, hr_d)), float(psnr(theirs_d, hr_d))
+            s_ours, s_ref = float(ssim(ours_d, hr_d)), float(ssim(theirs_d, hr_d))
+        rows.append(
+            {
+                "item": idx,
+                "psnr_ours": p_ours,
+                "psnr_ref": p_ref,
+                "ssim_ours": s_ours,
+                "ssim_ref": s_ref,
+                "psnr_delta": p_ours - p_ref,
+                "ssim_delta": s_ours - s_ref,
+                "max_abs_output_diff": float(np.abs(ours_d - theirs_d).max()),
+            }
+        )
 
     deltas = [abs(r["psnr_delta"]) for r in rows]
     summary = {
+        "net": net_name,
         "items": len(rows),
         "max_abs_psnr_delta_db": max(deltas) if deltas else None,
         "mean_psnr_ours": float(np.mean([r["psnr_ours"] for r in rows])),

@@ -47,6 +47,58 @@ def test_parity_check_cli(tmp_path):
     assert summary["max_abs_psnr_delta_db"] < 0.01
 
 
+@pytest.mark.parametrize(
+    "net_name,net_kwargs",
+    [
+        ("EDSRNet", dict(in_channels=1, out_channels=1, num_resblocks=2,
+                         num_features=8, upscale_factor=4)),
+        ("DUFNet", dict(in_channels=1, out_channels=1, num_frames=7, size_filter=5,
+                        upscale_factor=4, backbone="_DenseLayer16")),
+        ("EDVRNet", dict(in_channels=1, out_channels=1, nf=8, nframes=5, groups=2,
+                         front_RBs=1, back_RBs=1)),
+        ("DRFNet", dict(in_channels=1, out_channels=1, num_features=8,
+                        num_groups=2, upscale_factor=4)),
+    ],
+)
+def test_parity_check_cli_other_nets(tmp_path, net_name, net_kwargs):
+    """parity_check generalizes beyond RefineNet: any registered net name
+    routes through its key map, dataset workload and output protocol."""
+    import json
+
+    import torch
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools import (
+        parity_check,
+    )
+
+    tree = make_acdc_tree(tmp_path / "acdc", frames=8, hr_size=(32, 32), patients_per_split=1)
+
+    torch.manual_seed(1)
+    ref = parity_check.load_reference_model(
+        parity_check.Path("/root/reference"), net_name, net_kwargs
+    )
+    if net_name == "EDVRNet":
+        with torch.no_grad():
+            for name, p in ref.named_parameters():
+                if "conv_offset_mask" in name:
+                    p.normal_(0.0, 0.08)
+    ckpt = tmp_path / "model.pth"
+    torch.save({"net": ref.state_dict()}, ckpt)
+
+    data_dir = tree["imgs_dir"] if net_name == "EDSRNet" else tree["videos_dir"]
+    summary = parity_check.main(
+        [
+            str(ckpt), str(data_dir),
+            "--net", net_name,
+            "--max-items", "2",
+            "--net-kwargs", json.dumps(net_kwargs),
+        ]
+    )
+    assert summary["net"] == net_name
+    assert summary["items"] == 2
+    assert summary["contract_0p05db"] is True, summary
+
+
 def test_batch_infer_on_mesh(tmp_path):
     """Mesh-batched inference over the 8 fake devices produces the same
     per-sequence scores as single-item evaluation."""
