@@ -188,7 +188,12 @@ def main():
         except Exception as e:  # keep the headline metric robust
             train = {"error": str(e)[:200]}
     else:
-        train = {"steps_per_sec": 2.9, "batch": 16, "note": "cached measurement; set EVSR_BENCH_TRAIN=1 to remeasure"}
+        train = {
+            "steps_per_sec": 2.9,
+            "batch": 16,
+            "note": "cached measurement; set EVSR_BENCH_TRAIN=1 to remeasure",
+            "measured_at_commit": "85b8723 (round 1)",
+        }
     baseline = bench_torch_reference()
     vs = ours["frames_per_sec"] / baseline["frames_per_sec"] if baseline else None
     print(
@@ -202,6 +207,16 @@ def main():
                     "ours": ours,
                     "train": train,
                     "baseline": baseline,
+                    # honesty: the measured baseline is the PyTorch reference
+                    # on this host's CPU.  BASELINE.md's target is ">=2x DGX-1
+                    # V100 fps/chip", but no V100 number is published anywhere
+                    # (SURVEY.md §6); clearing it is an inference from the
+                    # CPU measurement, not a V100 measurement.
+                    "baseline_kind": "reference-cpu",
+                    "v100_target_note": (
+                        "BASELINE target is vs unpublished DGX-1 V100 fps; "
+                        "vs_baseline here is vs the reference on host CPU"
+                    ),
                     "protocol": f"batch {BATCH}, {CORE_T}+2x{U} frames, {LR_HW}x{LR_HW} LR, x4, fp32",
                 },
             }

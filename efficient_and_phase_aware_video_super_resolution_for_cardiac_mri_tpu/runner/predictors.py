@@ -63,8 +63,14 @@ class BasePredictor:
         exported=False,
         mesh=None,
         dataset_stats: str | None = None,
+        t_bucket: int = 0,
     ):
         self.device = device
+        # TPU extension (no reference counterpart): pad variable-length
+        # sequences up to multiples of t_bucket so XLA compiles one executable
+        # per bucket instead of one per distinct patient T (SURVEY §7
+        # "bucketing/padding with mask-aware metrics"). 0 = exact/off.
+        self.t_bucket = int(t_bucket or 0)
         self.mesh = mesh
         self.test_dataloader = test_dataloader
         self.net = net
@@ -105,6 +111,12 @@ class BasePredictor:
 
     def _select_output(self, outputs):
         return outputs
+
+    def _bucket_batch(self, batch):
+        """Hook: pad the batch's time axis to the bucket length.  Returns
+        (batch, true_T or None); the base (non-sequence) workloads are
+        fixed-shape and never bucket."""
+        return batch, None
 
     def _metric_masks(self, name: str, spatial_shape) -> tuple:
         """Per-metric masks for Cardiac metrics (None elsewhere)."""
@@ -187,13 +199,19 @@ class BasePredictor:
         for batch in self.test_dataloader:
             index = int(batch["index"][0])
             patient, sid, filename = self._item_meta(index)
+            batch, true_T = self._bucket_batch(batch)
             device_batch = jax.tree.map(jnp.asarray, batch)
             target = self._targets(batch)
             masks = self._metric_masks(patient, target.shape[-3:-1])
             total, losses, metrics, out_d = self._step(
                 self.params, self.model_state, device_batch, masks
             )
-            losses, metrics = np.asarray(losses), np.asarray(metrics)
+            # slice padded frames back off (no-op when true_T is None)
+            losses = np.asarray(losses)[:true_T]
+            metrics = np.asarray(metrics)[:true_T]
+            if true_T is not None:
+                out_d = out_d[:, :true_T]
+                total = losses.mean(axis=0) @ np.asarray(self.loss_weights)
             T = losses.shape[0]
             frames += T
             if self.exported:
@@ -319,6 +337,39 @@ class VSRPredictor(BasePredictor):
 
     def _targets(self, batch):
         return batch["hr_imgs"]
+
+    def _bucket_batch(self, batch):
+        """Circularly extend the cardiac cycle to the next bucket multiple.
+
+        The sequences are periodic cardiac cycles (the dataset already tiles
+        them ×3 — reference ``acdc_vsr_refinenet_dataset.py:74-76``), so the
+        pad frames are real wrapped frames: core' = cycle[t mod T], the
+        trailing warm-up margin is rebuilt to follow the extended core, and
+        scores/exports are sliced back to the true T outside the jit.
+        """
+        tb = self.t_bucket
+        if not tb:
+            return batch, None
+        hr = np.asarray(batch["hr_imgs"])
+        T = hr.shape[1]
+        Tb = -(-T // tb) * tb
+        if Tb == T:
+            return batch, None
+        lr = np.asarray(batch["lr_imgs"])
+        U = (lr.shape[1] - T) // 2  # warm-up margin (0 for plain VSR)
+        idx = np.arange(Tb) % T
+        back = np.arange(Tb, Tb + U) % T
+        new = dict(batch)
+        new["hr_imgs"] = hr[:, idx]
+        core = lr[:, U : U + T]
+        new["lr_imgs"] = np.concatenate([lr[:, :U], core[:, idx], core[:, back]], axis=1)
+        if "pos_code" in batch:
+            pos = np.asarray(batch["pos_code"])
+            pcore = pos[:, U : U + T]
+            new["pos_code"] = np.concatenate(
+                [pos[:, :U], pcore[:, idx], pcore[:, back]], axis=1
+            )
+        return new, T
 
     def _frame_losses(self, out, target):
         # out/target: (1, T, H, W, C) → per-frame loss columns (T, n_loss)

@@ -243,3 +243,30 @@ def test_bicubic_predictor_no_checkpoint(tree, tmp_path_factory):
     )
     predictor = run_test_config(cfg)
     assert predictor.log["PSNR"] > 10  # bicubic on smooth synthetic data
+
+
+def test_predict_with_t_bucketing(tree, trained, tmp_path_factory):
+    """t_bucket pads sequences to bucket multiples (one XLA executable per
+    bucket); scores stay close to exact since pad frames are real wrapped
+    cycle frames and are sliced off before scoring."""
+    _, train_dir = trained
+    exact_dir = tmp_path_factory.mktemp("t_exact")
+    cfg = _test_cfg(tree, train_dir, exact_dir)
+    exact = run_test_config(cfg).log
+
+    bucket_dir = tmp_path_factory.mktemp("t_bucket")
+    cfg = _test_cfg(tree, train_dir, bucket_dir)
+    cfg.predictor.kwargs.update(t_bucket=8, saved_dir=str(bucket_dir))
+    cfg.main.saved_dir = str(bucket_dir)
+    bucketed = run_test_config(cfg).log
+
+    assert np.isfinite(bucketed["Loss"])
+    # the recurrence sees 6 extra wrapped frames (10 → 16); outputs for the
+    # true frames shift slightly but the protocol (scored frames, export row
+    # count) is unchanged
+    assert abs(bucketed["PSNR"] - exact["PSNR"]) < 0.5
+    with open(bucket_dir / "results.csv") as f:
+        rows_bucketed = sum(1 for _ in f)
+    with open(exact_dir / "results.csv") as f:
+        rows_exact = sum(1 for _ in f)
+    assert rows_bucketed == rows_exact

@@ -319,3 +319,41 @@ def test_log_weighting_uses_configured_batch_size():
     )
     batch = {"lr_imgs": np.zeros((2, 19, 8, 8, 1), np.float32)}
     assert vsr._log_weight(batch, "training") == 2 * 19  # B x T(incl. warm-up)
+
+
+def test_vsr_t_bucketing_wrap_math():
+    """t_bucket pads the cycle circularly: core frames wrap mod T, the
+    trailing warm-up margin is rebuilt to follow the extended core."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.predictors import (
+        VSRPredictor,
+    )
+
+    pred = VSRPredictor(device="cpu", loss_fns=[], metric_fns=[], t_bucket=4)
+    rng = np.random.default_rng(0)
+    T, U = 5, 2
+    hr = rng.standard_normal((1, T, 8, 8, 1)).astype(np.float32)
+    lr = rng.standard_normal((1, T + 2 * U, 2, 2, 1)).astype(np.float32)
+    pos = rng.standard_normal((1, T + 2 * U, 1)).astype(np.float32)
+    batch = {"hr_imgs": hr, "lr_imgs": lr, "pos_code": pos, "index": np.array([0])}
+
+    new, true_T = pred._bucket_batch(batch)
+    assert true_T == T
+    Tb = 8
+    idx = np.arange(Tb) % T
+    np.testing.assert_array_equal(new["hr_imgs"], hr[:, idx])
+    core = lr[:, U : U + T]
+    want_lr = np.concatenate([lr[:, :U], core[:, idx], core[:, [3, 4]]], axis=1)
+    np.testing.assert_array_equal(new["lr_imgs"], want_lr)
+    pcore = pos[:, U : U + T]
+    want_pos = np.concatenate([pos[:, :U], pcore[:, idx], pcore[:, [3, 4]]], axis=1)
+    np.testing.assert_array_equal(new["pos_code"], want_pos)
+
+    # already a multiple → no-op
+    pred2 = VSRPredictor(device="cpu", loss_fns=[], metric_fns=[], t_bucket=5)
+    same, none_T = pred2._bucket_batch(batch)
+    assert none_T is None and same is batch
+
+    # off by default → no-op
+    pred3 = VSRPredictor(device="cpu", loss_fns=[], metric_fns=[])
+    same, none_T = pred3._bucket_batch(batch)
+    assert none_T is None
