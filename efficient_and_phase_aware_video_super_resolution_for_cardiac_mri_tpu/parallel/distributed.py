@@ -42,9 +42,15 @@ def initialize(
     """
     import jax
 
+    # Detect an existing coordination client WITHOUT jax.process_count():
+    # that call initializes the XLA backend, after which
+    # jax.distributed.initialize refuses to run — it must stay untouched
+    # until the decision below.
     try:
-        if jax.process_count() > 1:
-            return True  # already initialized
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return jax.process_count() > 1  # already initialized
     except Exception:
         pass
     if coordinator_address is None and not cluster_env_present():

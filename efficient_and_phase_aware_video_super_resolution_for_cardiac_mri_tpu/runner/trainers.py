@@ -21,6 +21,7 @@ from __future__ import annotations
 import inspect
 import logging
 import time
+from collections import deque
 from functools import partial
 
 import jax
@@ -193,21 +194,29 @@ class BaseTrainer:
             log[fn.name] = 0.0
         return log
 
-    def _update_log(self, log, weight, total, losses, metrics):
-        log["Loss"] += float(total) * weight
-        for fn, val in zip(self.loss_fns, losses):
-            log[fn.name] += float(val) * weight
-        for fn, val in zip(self.metric_fns, metrics):
-            log[fn.name] += float(val) * weight
+    def _device_prefetch(self, loader, lookahead: int = 1):
+        """Double-buffered host→device pipeline (SURVEY §7): the next batch is
+        prepared by the loader and transferred (async ``device_put``) while
+        the current step runs on device.  Yields (host_batch, device_batch)."""
+        buf = deque()
+        for batch in loader:
+            buf.append((batch, shard_batch(self.mesh, batch)))
+            if len(buf) > lookahead:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
 
     def _run_epoch(self, mode: str):
         loader = self.train_dataloader if mode == "training" else self.valid_dataloader
-        log, count = self._init_log(), 0
+        count = 0
         batch = outputs = None
         steps = 0
+        # log accumulators stay ON DEVICE for the whole epoch: fetching per
+        # step (float()) would sync the pipeline every batch and serialize
+        # host and device.  One transfer at epoch end instead.
+        acc_total = acc_losses = acc_metrics = None
         t0 = time.perf_counter()
-        for batch in loader:
-            device_batch = shard_batch(self.mesh, batch)
+        for batch, device_batch in self._device_prefetch(loader):
             if self.params is None:
                 self.init_params(device_batch)
             self._build_steps()  # no-op once built
@@ -225,10 +234,25 @@ class BaseTrainer:
                 total, losses, metrics, outputs = self._eval_step(
                     self.params, self.model_state, device_batch
                 )
-            weight = self._log_weight(batch, mode)
-            self._update_log(log, weight, total, losses, metrics)
-            count += weight
+            w = float(self._log_weight(batch, mode))
+            if acc_total is None:
+                acc_total = total * w
+                acc_losses = [l * w for l in losses]
+                acc_metrics = [m * w for m in metrics]
+            else:
+                acc_total = acc_total + total * w
+                acc_losses = [a + l * w for a, l in zip(acc_losses, losses)]
+                acc_metrics = [a + m * w for a, m in zip(acc_metrics, metrics)]
+            count += w
             steps += 1
+        log = self._init_log()
+        if acc_total is not None:
+            log["Loss"] = float(acc_total)
+            for fn, val in zip(self.loss_fns, acc_losses):
+                log[fn.name] = float(val)
+            for fn, val in zip(self.metric_fns, acc_metrics):
+                log[fn.name] = float(val)
+        # elapsed measured after the log fetch so it includes device drain
         elapsed = max(time.perf_counter() - t0, 1e-9)
         if mode == "training" and steps:
             self.throughput["train_steps_per_sec"] = steps / elapsed

@@ -1,0 +1,134 @@
+"""Worker for the two-process distributed CPU test (multi-host plan,
+SURVEY.md §2.8).
+
+Runs ONE data-parallel train step of a tiny RefineNet over an 8-device
+``data`` mesh and prints ``LOSS <value>``:
+
+* ``--single``: one process owning all 8 (virtual CPU) devices — the ground
+  truth numbers.
+* ``--pid N --port P``: one of two coordinated processes, 4 local CPU
+  devices each, global arrays assembled with
+  ``jax.make_array_from_process_local_data``.
+
+The losses must agree exactly: the global SPMD program is identical; only
+process ownership of the shards differs.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+GLOBAL_BATCH = 8
+CFG = dict(
+    in_channels=1, out_channels=1, num_features=[4, 4], upscale_factor=2,
+    num_stages=1, update_memory=True, num_updated_frames=2,
+    refine_window_size=3, positional_encoding=True,
+)
+CORE_T, U, HW = 3, 2, 6
+
+
+def _global_inputs():
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    T = CORE_T + 2 * U
+    lr = rng.standard_normal((GLOBAL_BATCH, T, HW, HW, 1)).astype(np.float32)
+    pos = rng.uniform(-1, 1, (GLOBAL_BATCH, T, 1)).astype(np.float32)
+    hr = rng.standard_normal((GLOBAL_BATCH, CORE_T, HW * 2, HW * 2, 1)).astype(np.float32)
+    return lr, pos, hr
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--single", action="store_true")
+    parser.add_argument("--pid", type=int, default=0)
+    parser.add_argument("--port", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8 if args.single else 4)
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parallel import (
+        distributed,
+    )
+
+    if not args.single:
+        ok = distributed.initialize(f"localhost:{args.port}", 2, args.pid)
+        assert ok, "jax.distributed.initialize did not produce a multi-process runtime"
+        assert jax.process_count() == 2
+        assert len(jax.devices()) == 8  # global view spans both processes
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+        RefineNet,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+    )
+
+    mesh = make_mesh()
+    shard = batch_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+
+    lr, pos, hr = _global_inputs()
+    if args.single:
+        lr_g, pos_g, hr_g = (jax.device_put(a, shard) for a in (lr, pos, hr))
+    else:
+        local, off = distributed.process_local_batch_slice(GLOBAL_BATCH)
+
+        def globalize(a):
+            return jax.make_array_from_process_local_data(
+                shard, a[off : off + local], a.shape
+            )
+
+        lr_g, pos_g, hr_g = globalize(lr), globalize(pos), globalize(hr)
+
+    model = RefineNet(**CFG)
+    variables = model.init(jax.random.PRNGKey(0), lr[:1], pos[:1])
+    if args.single:
+        params = jax.device_put(variables["params"], repl)
+    else:
+        params = jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(repl, np.asarray(a), a.shape),
+            variables["params"],
+        )
+    tx = optax.adam(1e-3)
+    opt_state = (
+        jax.device_put(tx.init(variables["params"]), repl)
+        if args.single
+        else jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                repl, np.asarray(a), np.shape(a)
+            ),
+            tx.init(variables["params"]),
+        )
+    )
+
+    def loss_fn(p, lr_in, pos_in, hr_in):
+        outs = model.apply({"params": p}, lr_in, pos_in)
+        return sum(jnp.mean(jnp.abs(o - hr_in)) for o in outs)
+
+    @jax.jit
+    def train_step(p, s, lr_in, pos_in, hr_in):
+        loss, grads = jax.value_and_grad(loss_fn)(p, lr_in, pos_in, hr_in)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    params, opt_state, loss = train_step(params, opt_state, lr_g, pos_g, hr_g)
+    _, _, loss2 = train_step(params, opt_state, lr_g, pos_g, hr_g)
+    print(f"LOSS {float(loss):.8f} {float(loss2):.8f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

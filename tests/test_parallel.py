@@ -1,4 +1,7 @@
 """Data-parallel SPMD tests on the fake 8-device CPU mesh (SURVEY.md §4c)."""
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -175,3 +178,59 @@ def test_trainer_with_mesh_through_config(tmp_path):
     # params ended replicated across all 8 devices
     leaf = jax.tree.leaves(trainer.params)[0]
     assert len(leaf.devices()) == 8
+
+
+@pytest.mark.slow
+def test_two_process_distributed_cpu_matches_single_process(tmp_path):
+    """Multi-host plan (SURVEY §2.8): two coordinated processes with 4 virtual
+    CPU devices each run the same global 8-device data-parallel train step as
+    one process owning all 8 devices — losses must agree (tests/_two_process_worker.py)."""
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    worker = str(Path(__file__).parent / "_two_process_worker.py")
+
+    def run(args, timeout=240):
+        return subprocess.run(
+            [sys.executable, worker, *args],
+            capture_output=True, text=True, timeout=timeout,
+            env={k: v for k, v in os.environ.items() if not k.startswith("XLA_FLAGS")},
+        )
+
+    def losses(proc):
+        m = re.search(r"LOSS ([\d.]+) ([\d.]+)", proc.stdout)
+        assert m, f"no LOSS line:\nstdout={proc.stdout[-500:]}\nstderr={proc.stderr[-1500:]}"
+        return float(m[1]), float(m[2])
+
+    single = run(["--single"])
+    assert single.returncode == 0, single.stderr[-1500:]
+    want = losses(single)
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "--pid", str(i), "--port", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    if any(p.returncode for p in procs):
+        stderr = "\n".join(e for _, e in outs)
+        # only a runtime that forbids multi-process coordination is a valid
+        # skip; anything else is a real failure
+        forbidden = "must be called before any JAX calls" in stderr or (
+            "UNAVAILABLE" in stderr and "coordination" in stderr.lower()
+        )
+        assert forbidden, f"two-process run failed:\n{stderr[-2000:]}"
+        pytest.skip(f"runtime forbids jax.distributed on CPU: {stderr[-300:]}")
+    for i, (out, err) in enumerate(outs):
+        m = re.search(r"LOSS ([\d.]+) ([\d.]+)", out)
+        assert m, f"pid {i}: no LOSS line\n{err[-1500:]}"
+        got = (float(m[1]), float(m[2]))
+        np.testing.assert_allclose(got, want, rtol=2e-6)
