@@ -61,6 +61,44 @@ def test_elastic_deformation_runs_and_preserves_shape():
     np.testing.assert_array_equal(out[0], out[1])  # same field for the tuple
 
 
+def test_elastic_deformation_field_distribution():
+    """Quantifies the deformation class the reference's SimpleITK B-spline
+    produces (transforms.py:230-318): per-pixel displacement is a smooth,
+    near-zero-mean field whose marginal spread tracks sigma, with a
+    low-frequency (control-grid-limited) spatial gradient.  SimpleITK is
+    absent here, so the assertions pin OUR field to those properties instead
+    of asserting 'same class' without evidence."""
+    sigma, n_ctrl, shape = 15.0, 4, (32, 32)
+    tf = T.RandomElasticDeformation(prob=1.0, sigma=sigma, num_ctrl_points=n_ctrl)
+    rng = np.random.default_rng(0)
+    fields = []
+    for _ in range(64):
+        fy, fx = tf._dense_field(rng, shape)
+        fields.append(np.stack([fy, fx]))
+    f = np.stack(fields)  # (64, 2, 32, 32)
+
+    # marginal spread tracks sigma (cubic upsampling of a N(0, sigma^2) grid
+    # keeps control-point variance and smooths between, so std is near but
+    # below sigma)
+    assert 0.5 * sigma < f.std() < 1.1 * sigma, f.std()
+    # near-zero mean displacement over draws
+    assert abs(f.mean()) < 0.2 * sigma, f.mean()
+    # smooth: the dense field's per-pixel gradient is bounded by the control
+    # grid spacing — a 4-point grid over 32 px cannot oscillate faster than
+    # ~sigma per (32/4) px; allow 3x for cubic overshoot
+    grad = np.abs(np.diff(f, axis=2)).mean()
+    assert grad < 3 * sigma * n_ctrl / shape[0], grad
+    # magnitude histogram: most displacement magnitudes within 3 sigma
+    mag = np.hypot(f[:, 0], f[:, 1])
+    assert np.quantile(mag, 0.99) < 3.5 * sigma
+
+    # z is frozen unless do_z_deformation (reference :262-266 behavior)
+    fz, fy3, fx3 = T.RandomElasticDeformation(prob=1.0, sigma=sigma)._dense_field(
+        np.random.default_rng(1), (5, 16, 16)
+    )
+    assert np.all(fz == 0) and fy3.any() and fx3.any()
+
+
 def test_compose_from_config():
     tf = T.compose(NORM)
     img = np.full((4, 4, 1), 54.089, np.float32)
