@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.pallas import fused_lstm_gates
 from .common import InBlock, PReLU, UpsampleBlock, conv, fold_time, sg, unfold_time
 
 class ConvLSTMStep(nn.Module):
@@ -53,13 +54,10 @@ class ConvLSTMStep(nn.Module):
             combined = jnp.concatenate([inp, h] if self.memory else [inp, inp], axis=-1)
             in_ch = (in_dim + hd) if self.memory else (in_dim * 2)
             gates = conv(4 * hd, 3, in_ch, name=f"cell{layer}")(combined)
-            cc_i, cc_f, cc_o, cc_g = jnp.split(gates, 4, axis=-1)
-            i = jax.nn.sigmoid(cc_i)
-            f = jax.nn.sigmoid(cc_f)
-            o = jax.nn.sigmoid(cc_o)
-            g = jnp.tanh(cc_g)
-            c_next = f * c + i * g
-            h_next = o * jnp.tanh(c_next)
+            # fused gate tail: Pallas kernel on TPU (one VPU pass over VMEM,
+            # single read of (gates, c), single write of (h', c')), identical
+            # pure-jax math elsewhere — ops/pallas/lstm_gates.py
+            h_next, c_next = fused_lstm_gates(gates, c)
             new_carry.append((h_next, c_next))
             inp = h_next
             in_dim = hd

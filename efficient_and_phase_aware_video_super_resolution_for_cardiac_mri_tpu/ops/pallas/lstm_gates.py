@@ -68,15 +68,14 @@ def _pallas_gates_2d(gates2d: jnp.ndarray, c2d: jnp.ndarray, interpret: bool = F
     )(gates2d, c2d)
 
 
-def _tpu_backend() -> bool:
-    platform = jax.default_backend()
-    if platform == "tpu":
-        return True
-    # tunneled TPU backends (axon) remote-compile Mosaic kernels pathologically
-    # slowly — opt in explicitly with EVSR_PALLAS=1
-    if platform == "axon":
-        return os.environ.get("EVSR_PALLAS") == "1"
-    return False
+def _use_pallas() -> bool:
+    # Strictly opt-in (EVSR_PALLAS=1) even on TPU: measured on v5e, the
+    # pallas_call boundary breaks XLA's conv<->gate fusion and the fused
+    # kernel is ~1.7x SLOWER than XLA's native lowering of the same math
+    # (15.2 vs 8.6 ms per T=42 ConvLSTM scan — PERF_NOTES.md round 2).
+    if os.environ.get("EVSR_PALLAS") != "1":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _run_pallas(gates: jnp.ndarray, c: jnp.ndarray, interpret: bool):
@@ -116,7 +115,7 @@ def fused_lstm_gates(gates: jnp.ndarray, c: jnp.ndarray, interpret: bool | None 
     if os.environ.get("EVSR_NO_PALLAS") == "1":
         return lstm_gates_reference(gates, c)
     if interpret is None:
-        if not _tpu_backend():
+        if not _use_pallas():
             return lstm_gates_reference(gates, c)
         return _fused_diff(gates, c)
     return _run_pallas(gates, c, interpret=interpret)

@@ -1,0 +1,312 @@
+"""On-chip perf decomposition for the flagship RefineNet (PERF_NOTES.md).
+
+Times isolated pieces of the x4 inference protocol in ONE process (run-to-run
+variance through the tunnel is ±20%, so cross-process comparisons lie):
+
+* conv_chain   — N sequentially-dependent gate-shaped convs (the LSTM's
+                 serial spine without gates): the sequential-conv ceiling
+* conv_batched — identical conv work with the time axis folded into batch:
+                 the MXU ceiling for these shapes
+* lstm         — one direction of the real 3-layer ConvLSTM scan over T
+* refine       — the window-conv refine block on full-T features
+* out          — the PixelShuffle out-block over the core frames
+* full         — the whole eval forward (final fused output only)
+
+Each row reports median wall time and achieved TFLOP/s.  Usage:
+
+    python -m <pkg>.tools.perf_probe [--probes conv_chain,lstm,...] [--bf16]
+        [--t 42] [--hw 64] [--iters 8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _timeit(fn, iters, *args):
+    import jax.numpy as jnp
+
+    # sync by fetching a scalar (block_until_ready is a no-op on axon)
+    def run():
+        out = fn(*args)
+        return float(jnp.sum(out) if hasattr(out, "dtype") else out)
+
+    run()  # compile
+    run()  # warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def probe_null(T, HW, dtype, iters):
+    """Host-fetch round-trip floor: time fetching a scalar from a trivial op.
+    Probes measuring less than ~2x this number are latency-floored lies."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 8), dtype)
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(x * 1.0001)
+
+    sec = _timeit(f, iters, x)
+    return {"sec": sec, "note": "scalar fetch round-trip"}
+
+
+def _repeat(body, x, reps):
+    """Chain `body` reps times inside one jitted graph so per-run work
+    amortizes the host round-trip (out feeds in → no DCE, no overlap)."""
+    import jax
+
+    def step(carry, _):
+        return body(carry), ()
+
+    out, _ = jax.lax.scan(step, x, None, length=reps)
+    return out
+
+
+def probe_conv_chain(T, HW, dtype, iters, feats=64):
+    """N chained convs: out_t depends on out_{t-1} (sequential spine)."""
+    import jax
+    import jax.numpy as jnp
+
+    cin, cout = 2 * feats, 4 * feats
+    k = jax.random.PRNGKey(0)
+    w = jax.random.normal(k, (3, 3, cin, cout), dtype) * 0.01
+    x0 = jax.random.normal(k, (1, HW, HW, cin), dtype)
+
+    steps = 2 * T * 10  # both directions' worth, x10 to clear the fetch floor
+
+    @jax.jit
+    def chain(x, w):
+        def body(carry, _):
+            y = jax.lax.conv_general_dilated(
+                carry, w, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            # feed back a cin-shaped slice to keep the dependency
+            return y[..., :cin] * 0.5, ()
+
+        out, _ = jax.lax.scan(body, x, None, length=steps)
+        return out
+
+    sec = _timeit(chain, iters, x0, w)
+    flops = steps * HW * HW * 9 * cin * cout * 2
+    return {"sec": sec, "tflops": flops / sec / 1e12, "steps": steps}
+
+
+def probe_conv_batched(T, HW, dtype, iters, feats=64):
+    """Same conv volume, time folded into batch (no serial dependency)."""
+    import jax
+    import jax.numpy as jnp
+
+    cin, cout = 2 * feats, 4 * feats
+    k = jax.random.PRNGKey(0)
+    B = 2 * T
+    w = jax.random.normal(k, (3, 3, cin, cout), dtype) * 0.01
+    x = jax.random.normal(k, (B, HW, HW, cin), dtype)
+
+    reps = 10
+
+    @jax.jit
+    def f(x, w):
+        def body(c):
+            y = jax.lax.conv_general_dilated(
+                c, w, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y[..., :cin] * 0.5
+
+        return _repeat(body, x, reps)
+
+    sec = _timeit(f, iters, x, w)
+    flops = reps * B * HW * HW * 9 * cin * cout * 2
+    return {"sec": sec, "tflops": flops / sec / 1e12}
+
+
+def probe_lstm(T, HW, dtype, iters, feats=64):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.refine_net import ConvLSTM
+
+    model = ConvLSTM(feats, (feats, feats, feats))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, T, HW, HW, feats)), dtype)
+    variables = jax.tree.map(lambda a: a.astype(dtype), model.init(jax.random.PRNGKey(0), x))
+    reps = 6
+    f = jax.jit(lambda v, x: _repeat(lambda c: model.apply(v, c) * 0.5, x, reps))
+    sec = _timeit(f, iters, variables, x)
+    # per step: 3 layers of conv(2F -> 4F, 3x3)
+    flops = reps * T * 3 * HW * HW * 9 * (2 * feats) * (4 * feats) * 2
+    return {"sec": sec, "tflops": flops / sec / 1e12, "note": "one direction, one stage"}
+
+
+def probe_refine(T, HW, dtype, iters, feats=64, window=5):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.refine_net import RefineBlock
+
+    model = RefineBlock(feats, window, min(6, max(0, (T - window) // 2)), True)
+    rng = np.random.default_rng(0)
+    fwd = jnp.asarray(rng.standard_normal((1, T, HW, HW, feats)), dtype)
+    bwd = jnp.asarray(rng.standard_normal((1, T, HW, HW, feats)), dtype)
+    pos = jnp.asarray(rng.standard_normal((1, T, 1)), dtype)
+    variables = jax.tree.map(
+        lambda a: a.astype(dtype), model.init(jax.random.PRNGKey(0), fwd, bwd, pos)
+    )
+    reps = 6
+    K = T - window + 1
+
+    def body(v, a, b, p):
+        import jax.numpy as jnp
+
+        def once(carry):
+            a_, b_ = carry
+            out = model.apply(v, a_, b_, p)  # (B, K, H, W, F)
+            pad = jnp.pad(out, ((0, 0), (0, T - K), (0, 0), (0, 0), (0, 0)))
+            return (a_ + 1e-6 * pad, b_)
+
+        return _repeat(once, (a, b), reps)[0]
+
+    f = jax.jit(body)
+    sec = _timeit(f, iters, variables, fwd, bwd, pos)
+    C = 2 * feats + 1
+    flops = reps * K * HW * HW * (window * 9 * C * C + 9 * C * feats) * 2
+    return {"sec": sec, "tflops": flops / sec / 1e12}
+
+
+def probe_refine2d(T, HW, dtype, iters, feats=64, window=5):
+    """Alternative lowering of the window conv: 5 shifted batched 2D convs
+    summed (instead of one NDHWC 3D conv) — same math, MXU-native shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    C = 2 * feats + 1
+    K = T - window + 1
+    feats_in = jnp.asarray(rng.standard_normal((1, T, HW, HW, C)), dtype)
+    k3d = jnp.asarray(rng.standard_normal((window, 3, 3, C, C)) * 0.01, dtype)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, C, feats)) * 0.01, dtype)
+    reps = 6
+
+    def once(x):
+        B, T_, H, W, C_ = x.shape
+        folded = x.reshape(B * T_, H, W, C_)
+        acc = None
+        for d in range(window):
+            y = jax.lax.conv_general_dilated(
+                folded, k3d[d], (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).reshape(B, T_, H, W, C_)
+            piece = y[:, d : d + K]
+            acc = piece if acc is None else acc + piece
+        out = jax.lax.conv_general_dilated(
+            acc.reshape(B * K, H, W, C_), k2, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).reshape(B, K, H, W, feats)
+        pad = jnp.pad(out, ((0, 0), (0, T_ - K), (0, 0), (0, 0), (0, 0)), mode="constant")
+        return x + 1e-6 * jnp.pad(pad, ((0, 0), (0, 0), (0, 0), (0, 0), (0, C_ - feats)))
+
+    f = jax.jit(lambda x: _repeat(once, x, reps))
+    sec = _timeit(f, iters, feats_in)
+    flops = reps * HW * HW * 9 * C * 2 * (window * T * C + K * feats)
+    return {"sec": sec, "tflops": flops / sec / 1e12, "note": "5x shifted 2D convs"}
+
+
+def probe_out(T, HW, dtype, iters, feats=64, core=30, factor=4):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.common import UpsampleBlock
+
+    model = UpsampleBlock(feats, 1, factor)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((core, HW, HW, feats)), dtype)
+    variables = jax.tree.map(lambda a: a.astype(dtype), model.init(jax.random.PRNGKey(0), x))
+    reps = 6
+
+    def body(v, x):
+        def once(c):
+            out = model.apply(v, c)  # (core, 4HW, 4HW, 1)
+            return c + 1e-6 * out[:, ::factor, ::factor, :]
+
+        return _repeat(once, x, reps)
+
+    f = jax.jit(body)
+    sec = _timeit(f, iters, variables, x)
+    # two PS2 convs (F->4F at HW, F->4F at 2HW) + final conv at 4HW
+    flops = reps * core * 2 * 9 * (
+        HW * HW * feats * 4 * feats
+        + 4 * HW * HW * feats * 4 * feats
+        + 16 * HW * HW * feats * 1
+    )
+    return {"sec": sec, "tflops": flops / sec / 1e12}
+
+
+def probe_full(T, HW, dtype, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import RefineNet
+
+    cfg = dict(
+        in_channels=1, out_channels=1, num_features=[64, 64, 64], upscale_factor=4,
+        num_stages=3, update_memory=True, num_updated_frames=6,
+        refine_window_size=5, positional_encoding=True,
+    )
+    model = RefineNet(**cfg)
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(rng.standard_normal((1, T, HW, HW, 1)), dtype)
+    pos = jnp.asarray(rng.standard_normal((1, T, 1)), dtype)
+    variables = jax.tree.map(
+        lambda a: a.astype(dtype), jax.jit(model.init)(jax.random.PRNGKey(0), lr, pos)
+    )
+    f = jax.jit(lambda v, a, p: model.apply(v, a, p)[-1])
+    sec = _timeit(f, iters, variables, lr, pos)
+    core = T - 12
+    return {"sec": sec, "frames_per_sec": core / sec}
+
+
+PROBES = {
+    "null": probe_null,
+    "conv_chain": probe_conv_chain,
+    "conv_batched": probe_conv_batched,
+    "lstm": probe_lstm,
+    "refine": probe_refine,
+    "refine2d": probe_refine2d,
+    "out": probe_out,
+    "full": probe_full,
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--probes", default="null,conv_chain,conv_batched,lstm,refine,out")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--t", type=int, default=42)
+    parser.add_argument("--hw", type=int, default=64)
+    parser.add_argument("--iters", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    results = {}
+    for name in args.probes.split(","):
+        name = name.strip()
+        t0 = time.perf_counter()
+        results[name] = PROBES[name](args.t, args.hw, dtype, args.iters)
+        results[name]["compile_plus_run_sec"] = round(time.perf_counter() - t0, 1)
+        print(json.dumps({name: results[name]}), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()
