@@ -64,6 +64,7 @@ class BasePredictor:
         mesh=None,
         dataset_stats: str | None = None,
         t_bucket: int = 0,
+        compute_dtype: str | None = None,
     ):
         self.device = device
         # TPU extension (no reference counterpart): pad variable-length
@@ -71,6 +72,9 @@ class BasePredictor:
         # per bucket instead of one per distinct patient T (SURVEY §7
         # "bucketing/padding with mask-aware metrics"). 0 = exact/off.
         self.t_bucket = int(t_bucket or 0)
+        # TPU extension: run the forward in bf16 (params/inputs cast inside
+        # the jitted step; metrics on f32 denormalized outputs).
+        self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
         self.mesh = mesh
         self.test_dataloader = test_dataloader
         self.net = net
@@ -136,10 +140,26 @@ class BasePredictor:
         weights = jnp.asarray(self.loss_weights)
 
         kwargs = {"train": False} if self._accepts_train else {}
+        cdtype = self.compute_dtype
+
+        def _cast(tree, dtype):
+            return jax.tree.map(
+                lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                tree,
+            )
 
         @jax.jit
         def step(params, state, batch, masks):
-            outputs = apply_fn({"params": params, **state}, *self._model_inputs(batch), **kwargs)
+            fwd_batch = batch
+            if cdtype is not None:
+                params, state, fwd_batch = (
+                    _cast(params, cdtype), _cast(state, cdtype), _cast(batch, cdtype),
+                )
+            outputs = apply_fn(
+                {"params": params, **state}, *self._model_inputs(fwd_batch), **kwargs
+            )
+            if cdtype is not None:
+                outputs = _cast(outputs, jnp.float32)
             out = self._select_output(outputs)
             target = self._targets(batch)
             losses = self._frame_losses(out, target)  # (T, n_loss) or (1, n_loss)

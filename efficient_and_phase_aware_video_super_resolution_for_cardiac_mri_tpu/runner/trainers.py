@@ -71,6 +71,7 @@ class BaseTrainer:
         seed_state: SeedState | None = None,
         dataset_stats: str | None = None,
         checkpoint_backend: str = "pickle",
+        compute_dtype: str | None = None,
     ):
         self.device = device
         self.mesh = mesh
@@ -86,6 +87,11 @@ class BaseTrainer:
         self.monitor = monitor
         self.num_epochs = num_epochs
         self.checkpoint_backend = checkpoint_backend
+        # TPU extension (no reference counterpart): forward/backward in bf16
+        # while params, optimizer state and losses stay f32 (bf16 needs no
+        # loss scaling; PSNR impact measured at <0.2 gray levels -
+        # PERF_NOTES.md round-1 probe).
+        self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
         self.epoch = 1
         if dataset_stats:
             self.dataset_stats = dataset_stats
@@ -153,7 +159,19 @@ class BaseTrainer:
 
         accepts_train = self._accepts_train
 
+        cdtype = self.compute_dtype
+
+        def _cast(tree, dtype):
+            return jax.tree.map(
+                lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                tree,
+            )
+
         def forward_losses(params, state, batch, training):
+            if cdtype is not None:
+                params = _cast(params, cdtype)
+                state = _cast(state, cdtype)
+                batch = _cast(batch, cdtype)
             variables = {"params": params, **state}
             kwargs = {"train": training} if accepts_train else {}
             if state and training:
@@ -163,6 +181,10 @@ class BaseTrainer:
             else:
                 outputs = apply_fn(variables, *self._model_inputs(batch), **kwargs)
                 new_state = state
+            if cdtype is not None:
+                outputs = _cast(outputs, jnp.float32)
+                new_state = _cast(new_state, jnp.float32)
+                batch = _cast(batch, jnp.float32)
             losses = self._compute_losses(outputs, batch, training)
             total = jnp.sum(jnp.stack(losses) * weights)
             return total, (losses, outputs, new_state)

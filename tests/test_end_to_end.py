@@ -7,6 +7,7 @@ CSV/GIF/PNG.
 """
 import csv
 
+import jax
 import numpy as np
 import pytest
 import yaml
@@ -270,3 +271,33 @@ def test_predict_with_t_bucketing(tree, trained, tmp_path_factory):
     with open(exact_dir / "results.csv") as f:
         rows_exact = sum(1 for _ in f)
     assert rows_bucketed == rows_exact
+
+
+def test_predict_bf16_compute_dtype(tree, trained, tmp_path_factory):
+    """compute_dtype: bfloat16 runs the forward in bf16 (params/opt state and
+    metrics stay f32); scores must track the f32 run closely (round-1 probe:
+    <0.2 gray levels output delta)."""
+    _, train_dir = trained
+    f32_dir = tmp_path_factory.mktemp("dtype_f32")
+    exact = run_test_config(_test_cfg(tree, train_dir, f32_dir)).log
+
+    bf16_dir = tmp_path_factory.mktemp("dtype_bf16")
+    cfg = _test_cfg(tree, train_dir, bf16_dir)
+    cfg.predictor.kwargs.update(compute_dtype="bfloat16", saved_dir=str(bf16_dir))
+    cfg.main.saved_dir = str(bf16_dir)
+    log = run_test_config(cfg).log
+    assert abs(log["PSNR"] - exact["PSNR"]) < 0.5, (log["PSNR"], exact["PSNR"])
+    assert abs(log["SSIM"] - exact["SSIM"]) < 0.05
+
+
+def test_train_bf16_compute_dtype(tree, tmp_path_factory):
+    import jax.numpy as jnp
+
+    saved_dir = tmp_path_factory.mktemp("train_bf16")
+    cfg = _train_cfg(tree, saved_dir)
+    cfg.trainer.kwargs.update(compute_dtype="bfloat16", num_epochs=1)
+    trainer = train_from_config(cfg)
+    assert np.isfinite(trainer.monitor.best)
+    # master params and optimizer state remain f32
+    leaves = jax.tree.leaves(trainer.params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
