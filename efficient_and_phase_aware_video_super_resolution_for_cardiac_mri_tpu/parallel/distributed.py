@@ -24,6 +24,11 @@ _CLUSTER_ENV_VARS = (
     "MEGASCALE_COORDINATOR_ADDRESS",
 )
 
+# set on our own successful jax.distributed.initialize — the stable
+# already-initialized signal (the probe of jax's private client handle in
+# initialize() is best-effort only)
+_initialized = False
+
 
 def cluster_env_present() -> bool:
     return any(os.environ.get(v) for v in _CLUSTER_ENV_VARS)
@@ -45,7 +50,11 @@ def initialize(
     # Detect an existing coordination client WITHOUT jax.process_count():
     # that call initializes the XLA backend, after which
     # jax.distributed.initialize refuses to run — it must stay untouched
-    # until the decision below.
+    # until the decision below.  Primary signal: our own success flag from a
+    # previous call; secondary: jax's (private, best-effort) client handle.
+    global _initialized
+    if _initialized:
+        return jax.process_count() > 1
     try:
         from jax._src import distributed as _dist
 
@@ -65,6 +74,7 @@ def initialize(
             f"jax.distributed initialized: process {jax.process_index()} "
             f"of {jax.process_count()}."
         )
+        globals()["_initialized"] = True
         return jax.process_count() > 1
     except Exception as e:
         logger.warning(f"jax.distributed.initialize failed ({e}); continuing single-host.")

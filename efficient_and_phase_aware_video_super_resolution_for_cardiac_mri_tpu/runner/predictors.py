@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PREDICTORS
+from ..utils.casting import cast_floating
 from ..utils.stats import get_stats
 from . import checkpoint as ckpt_io
 
@@ -142,24 +143,18 @@ class BasePredictor:
         kwargs = {"train": False} if self._accepts_train else {}
         cdtype = self.compute_dtype
 
-        def _cast(tree, dtype):
-            return jax.tree.map(
-                lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                tree,
-            )
-
         @jax.jit
         def step(params, state, batch, masks):
             fwd_batch = batch
             if cdtype is not None:
-                params, state, fwd_batch = (
-                    _cast(params, cdtype), _cast(state, cdtype), _cast(batch, cdtype),
-                )
+                params = cast_floating(params, cdtype)
+                state = cast_floating(state, cdtype)
+                fwd_batch = cast_floating(batch, cdtype)
             outputs = apply_fn(
                 {"params": params, **state}, *self._model_inputs(fwd_batch), **kwargs
             )
             if cdtype is not None:
-                outputs = _cast(outputs, jnp.float32)
+                outputs = cast_floating(outputs, jnp.float32)
             out = self._select_output(outputs)
             target = self._targets(batch)
             losses = self._frame_losses(out, target)  # (T, n_loss) or (1, n_loss)

@@ -31,6 +31,7 @@ import optax
 
 from ..config import TRAINERS
 from ..parallel import shard_batch
+from ..utils.casting import cast_floating
 from ..utils.profiling import trace
 from ..utils.seeding import SeedState, seed_everything
 from ..utils.stats import get_stats
@@ -161,30 +162,29 @@ class BaseTrainer:
 
         cdtype = self.compute_dtype
 
-        def _cast(tree, dtype):
-            return jax.tree.map(
-                lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                tree,
-            )
-
         def forward_losses(params, state, batch, training):
+            # cast ONLY the model inputs — the batch (loss/metric targets)
+            # stays f32 so losses compare f32 outputs against f32 targets
+            # (mirrors the predictor's fwd_batch/batch split)
+            fwd_inputs = self._model_inputs(batch)
             if cdtype is not None:
-                params = _cast(params, cdtype)
-                state = _cast(state, cdtype)
-                batch = _cast(batch, cdtype)
+                params = cast_floating(params, cdtype)
+                state = cast_floating(state, cdtype)
+                fwd_inputs = cast_floating(fwd_inputs, cdtype)
             variables = {"params": params, **state}
             kwargs = {"train": training} if accepts_train else {}
             if state and training:
                 outputs, new_state = apply_fn(
-                    variables, *self._model_inputs(batch), mutable=list(state.keys()), **kwargs
+                    variables, *fwd_inputs, mutable=list(state.keys()), **kwargs
                 )
             else:
-                outputs = apply_fn(variables, *self._model_inputs(batch), **kwargs)
+                outputs = apply_fn(variables, *fwd_inputs, **kwargs)
                 new_state = state
             if cdtype is not None:
-                outputs = _cast(outputs, jnp.float32)
-                new_state = _cast(new_state, jnp.float32)
-                batch = _cast(batch, jnp.float32)
+                outputs = cast_floating(outputs, jnp.float32)
+                # batch_stats updates are computed in bf16 under the knob,
+                # then carried as f32 masters
+                new_state = cast_floating(new_state, jnp.float32)
             losses = self._compute_losses(outputs, batch, training)
             total = jnp.sum(jnp.stack(losses) * weights)
             return total, (losses, outputs, new_state)

@@ -22,7 +22,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import types
 from pathlib import Path
 
 import numpy as np
@@ -66,54 +65,36 @@ NET_TO_FAMILY = {
 _NEEDS_TRAIN_FLAG = {"TOFlowNet", "DUFNet"}
 
 
-def _load_ref_module(reference_root: Path, rel: str, name: str):
-    import importlib.util
-
-    for i in range(1, len(name.split("."))):
-        pkg = ".".join(name.split(".")[:i])
-        if pkg not in sys.modules:
-            mod = types.ModuleType(pkg)
-            mod.__path__ = []
-            sys.modules[pkg] = mod
-    spec = importlib.util.spec_from_file_location(name, reference_root / rel)
-    module = importlib.util.module_from_spec(spec)
-    sys.modules[name] = module
-    spec.loader.exec_module(module)
-    return module
+def _reference_loader(reference_root: Path):
+    """The single dynamic-loader implementation lives in
+    tests/reference_loader.py (sys.modules shimming + CPU patches); this is a
+    developer tool of this repo, so the tests dir is resolvable from here."""
+    tests_dir = Path(__file__).resolve().parents[2] / "tests"
+    if str(tests_dir) not in sys.path:
+        sys.path.insert(0, str(tests_dir))
+    try:
+        import reference_loader
+    except ImportError as e:  # pragma: no cover - repo layout required
+        raise SystemExit(
+            "parity_check needs tests/reference_loader.py from the repo checkout."
+        ) from e
+    reference_loader.REFERENCE_ROOT = Path(reference_root)
+    return reference_loader
 
 
 def load_reference_model(reference_root: Path, net_name: str, net_kwargs: dict):
     """Load the reference net class file-by-file (the reference package
-    ``__init__`` chain needs nibabel) with CPU patches where required."""
-    import torch
-
-    _load_ref_module(reference_root, "src/model/nets/base_net.py", "src.model.nets.base_net")
-    if net_name == "EDVRNet":
-        try:
-            from dcn_oracle import install_dcn_stub  # tests/ on sys.path
-        except ImportError as e:  # pragma: no cover - depends on CWD
-            raise SystemExit(
-                "EDVRNet parity needs the CPU DCN oracle: run from the repo "
-                "root with tests/ on PYTHONPATH (tests/dcn_oracle.py)."
-            ) from e
-        install_dcn_stub()
-        _load_ref_module(
-            reference_root,
-            "src/model/nets/edvr_net/arch_util.py",
-            "src.model.nets.edvr_net.arch_util",
-        )
-    mod = _load_ref_module(
-        reference_root, REF_MODULES[net_name], f"src.model.nets._parity_{net_name}"
-    )
+    ``__init__`` chain needs nibabel) with CPU patches where required —
+    all via tests/reference_loader.py (one loader implementation)."""
+    rl = _reference_loader(reference_root)
     if net_name == "RefineNet":
-        # the reference hardcodes .cuda() in init_hidden (SURVEY quirk 2)
-        def init_hidden(self, batch_size, height, width):
-            return (
-                torch.zeros(batch_size, self.hidden_dim, height, width),
-                torch.zeros(batch_size, self.hidden_dim, height, width),
-            )
-
-        mod.ConvLSTMCell.init_hidden = init_hidden
+        mod = rl.load_reference_refine_net()  # patches the hardcoded .cuda()
+    elif net_name == "EDVRNet":
+        mod = rl.load_reference_edvr()  # stubs the CUDA dcn with the oracle
+    else:
+        rl.load_reference_module("src/model/nets/base_net.py", "src.model.nets.base_net")
+        stem = Path(REF_MODULES[net_name]).stem
+        mod = rl.load_reference_module(REF_MODULES[net_name], f"src.model.nets.{stem}")
     return getattr(mod, net_name)(**net_kwargs)
 
 
