@@ -82,3 +82,20 @@ def test_resize_bicubic_jax_equals_np():
     for b in range(5):
         want = resize_bicubic_np(x[b], (8, 7))
         np.testing.assert_allclose(got[b], want, atol=1e-5)
+
+
+def test_perf_probe_smoke():
+    """The perf decomposition tool runs end-to-end on CPU with tiny shapes
+    (guards the probe graphs against model/API drift)."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools import (
+        perf_probe,
+    )
+
+    results = perf_probe.main(
+        ["--probes", "null,conv_chain,conv_batched,lstm,refine,refine2d,out",
+         "--t", "6", "--hw", "8", "--iters", "1"]
+    )
+    assert set(results) == {"null", "conv_chain", "conv_batched", "lstm",
+                            "refine", "refine2d", "out"}
+    for name, row in results.items():
+        assert row["sec"] > 0, name
