@@ -42,6 +42,10 @@ class BaseLogger:
 
     def write(self, epoch, train_log, train_batch, train_outputs, valid_log, valid_batch, valid_outputs):
         self._add_scalars(epoch, train_log, valid_log)
+        # an epoch can legitimately yield no batches (e.g. fewer items than
+        # the batch size with drop_last) — skip the image panels, not the run
+        if train_batch is None or valid_batch is None or train_outputs is None or valid_outputs is None:
+            return
         self._add_images(epoch, train_batch, train_outputs, valid_batch, valid_outputs)
 
     def close(self):

@@ -357,3 +357,15 @@ def test_vsr_t_bucketing_wrap_math():
     pred3 = VSRPredictor(device="cpu", loss_fns=[], metric_fns=[])
     same, none_T = pred3._bucket_batch(batch)
     assert none_T is None
+
+
+def test_logger_skips_image_panels_for_empty_epoch(tmp_path):
+    """An epoch can produce no batches (items < batch size with drop_last);
+    the logger must write scalars and skip the panels, not crash."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.loggers import (
+        VSRLogger,
+    )
+
+    logger = VSRLogger(tmp_path)
+    logger.write(1, {"Loss": 1.0}, None, None, {"Loss": 2.0}, None, None)
+    logger.close()
