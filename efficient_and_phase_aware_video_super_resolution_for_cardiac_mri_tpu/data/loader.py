@@ -92,21 +92,28 @@ class Dataloader:
                 yield self.collate_fn([self._fetch(i) for i in idxs])
             return
 
-        def load_batch(idxs):
-            return self.collate_fn([self._fetch(i) for i in idxs])
-
+        # per-ITEM futures (not per-batch): all workers load items of the next
+        # batches concurrently instead of one thread walking a whole batch;
+        # batches are assembled and yielded strictly in order (determinism is
+        # per-item: each item derives its own RNG from epoch+index).
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             pending = []
             batches = self._batches(order)
+
+            def submit_next():
+                idxs = next(batches)
+                pending.append([pool.submit(self._fetch, i) for i in idxs])
+
             try:
                 for _ in range(self.prefetch_batches + 1):
-                    pending.append(pool.submit(load_batch, next(batches)))
+                    submit_next()
             except StopIteration:
                 pass
             while pending:
-                batch = pending.pop(0).result()
+                futures = pending.pop(0)
+                batch = self.collate_fn([f.result() for f in futures])
                 try:
-                    pending.append(pool.submit(load_batch, next(batches)))
+                    submit_next()
                 except StopIteration:
                     pass
                 yield batch
