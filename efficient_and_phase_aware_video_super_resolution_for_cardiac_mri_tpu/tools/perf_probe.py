@@ -221,6 +221,43 @@ def probe_refine2d(T, HW, dtype, iters, feats=64, window=5):
     return {"sec": sec, "tflops": flops / sec / 1e12, "note": "5x shifted 2D convs"}
 
 
+def probe_refine_pad(T, HW, dtype, iters, feats=64, window=5, pad_to=136):
+    """The refine convs carry C = 2F+1 = 129 channels (128 + the pos code) —
+    one past the 128-lane boundary.  Measures the identical math with C
+    zero-padded to `pad_to` (extra kernel rows zero → outputs unchanged)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    C = pad_to
+    K = T - window + 1
+    feats_in = jnp.asarray(rng.standard_normal((1, T, HW, HW, C)), dtype)
+    k3d = jnp.asarray(rng.standard_normal((window, 3, 3, C, C)) * 0.01, dtype)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, C, feats)) * 0.01, dtype)
+    reps = 6
+
+    def once(x):
+        B, T_, H, W, C_ = x.shape
+        y = jax.lax.conv_general_dilated(
+            x, k3d.transpose(0, 1, 2, 3, 4), (1, 1, 1),
+            [(0, 0), (1, 1), (1, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )  # (B, K, H, W, C)
+        out = jax.lax.conv_general_dilated(
+            y.reshape(B * K, H, W, C_), k2, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).reshape(B, K, H, W, feats)
+        pad = jnp.pad(out, ((0, 0), (0, T_ - K), (0, 0), (0, 0), (0, C_ - feats)))
+        return x + 1e-6 * pad
+
+    f = jax.jit(lambda x: _repeat(once, x, reps))
+    sec = _timeit(f, iters, feats_in)
+    # report rate normalized by the REAL (129-ch) work for comparability
+    C_real = 2 * feats + 1
+    flops = reps * K * HW * HW * (window * 9 * C_real * C_real + 9 * C_real * feats) * 2
+    return {"sec": sec, "tflops_real_work": flops / sec / 1e12, "padded_C": pad_to}
+
+
 def probe_out(T, HW, dtype, iters, feats=64, core=30, factor=4):
     import jax
     import jax.numpy as jnp
@@ -281,6 +318,7 @@ PROBES = {
     "lstm": probe_lstm,
     "refine": probe_refine,
     "refine2d": probe_refine2d,
+    "refine_pad": probe_refine_pad,
     "out": probe_out,
     "full": probe_full,
 }
