@@ -63,6 +63,7 @@ class DCNPack(nn.Module):
     nf: int
     kernel_size: int = 3
     deformable_groups: int = 8
+    max_offset: int | None = None  # gather-free windowed DCN when set
 
     @nn.compact
     def __call__(self, x, offset_features):
@@ -85,6 +86,7 @@ class DCNPack(nn.Module):
         return modulated_deform_conv2d(
             x, offset, mask, weight, bias,
             stride=1, padding=k // 2, dilation=1, deformable_groups=dg,
+            max_offset=self.max_offset,
         )
 
 
@@ -93,6 +95,7 @@ class PCDAlign(nn.Module):
 
     nf: int = 64
     groups: int = 8
+    max_offset: int | None = None
 
     @nn.compact
     def __call__(self, nbr_fea_l, ref_fea_l):
@@ -102,7 +105,7 @@ class PCDAlign(nn.Module):
         off = _lrelu(conv(nf, 3, nf * 2, name="L3_offset_conv1")(off))
         L3_offset = _lrelu(conv(nf, 3, nf, name="L3_offset_conv2")(off))
         L3_fea = _lrelu(
-            DCNPack(nf, 3, self.groups, name="L3_dcnpack")(nbr_fea_l[2], L3_offset)
+            DCNPack(nf, 3, self.groups, self.max_offset, name="L3_dcnpack")(nbr_fea_l[2], L3_offset)
         )
         # L2
         off = jnp.concatenate([nbr_fea_l[1], ref_fea_l[1]], axis=-1)
@@ -114,7 +117,7 @@ class PCDAlign(nn.Module):
             )
         )
         L2_offset = _lrelu(conv(nf, 3, nf, name="L2_offset_conv3")(off))
-        L2_fea = DCNPack(nf, 3, self.groups, name="L2_dcnpack")(nbr_fea_l[1], L2_offset)
+        L2_fea = DCNPack(nf, 3, self.groups, self.max_offset, name="L2_dcnpack")(nbr_fea_l[1], L2_offset)
         L3_fea_up = upsample_bilinear(L3_fea, 2, align_corners=False)
         L2_fea = _lrelu(
             conv(nf, 3, nf * 2, name="L2_fea_conv")(
@@ -131,7 +134,7 @@ class PCDAlign(nn.Module):
             )
         )
         L1_offset = _lrelu(conv(nf, 3, nf, name="L1_offset_conv3")(off))
-        L1_fea = DCNPack(nf, 3, self.groups, name="L1_dcnpack")(nbr_fea_l[0], L1_offset)
+        L1_fea = DCNPack(nf, 3, self.groups, self.max_offset, name="L1_dcnpack")(nbr_fea_l[0], L1_offset)
         L2_fea_up = upsample_bilinear(L2_fea, 2, align_corners=False)
         L1_fea = conv(nf, 3, nf * 2, name="L1_fea_conv")(
             jnp.concatenate([L1_fea, L2_fea_up], axis=-1)
@@ -140,7 +143,7 @@ class PCDAlign(nn.Module):
         off = jnp.concatenate([L1_fea, ref_fea_l[0]], axis=-1)
         off = _lrelu(conv(nf, 3, nf * 2, name="cas_offset_conv1")(off))
         off = _lrelu(conv(nf, 3, nf, name="cas_offset_conv2")(off))
-        return _lrelu(DCNPack(nf, 3, self.groups, name="cas_dcnpack")(L1_fea, off))
+        return _lrelu(DCNPack(nf, 3, self.groups, self.max_offset, name="cas_dcnpack")(L1_fea, off))
 
 
 class TSAFusion(nn.Module):
@@ -243,6 +246,10 @@ class EDVRNet(nn.Module):
     predeblur: bool = False
     HR_in: bool = False
     w_TSA: bool = True
+    # TPU extension: static sampling window for the gather-free DCN path
+    # (ops/deform_conv.deform_conv2d_windowed) — ~10x faster; exact for
+    # |learned offset| <= dcn_max_offset.  None = exact gather semantics.
+    dcn_max_offset: int | None = None
 
     @nn.compact
     def __call__(self, lr_imgs: jnp.ndarray) -> jnp.ndarray:
@@ -281,7 +288,7 @@ class EDVRNet(nn.Module):
         L2 = unfold_time(L2, spec)
         L3 = unfold_time(L3, spec)
 
-        pcd = PCDAlign(nf, self.groups, name="pcd_align")
+        pcd = PCDAlign(nf, self.groups, self.dcn_max_offset, name="pcd_align")
         ref_fea_l = [L1[:, center], L2[:, center], L3[:, center]]
         aligned = jnp.stack(
             [pcd([L1[:, i], L2[:, i], L3[:, i]], ref_fea_l) for i in range(N)], axis=1

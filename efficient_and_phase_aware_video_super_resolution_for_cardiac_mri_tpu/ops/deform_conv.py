@@ -68,6 +68,7 @@ def deform_conv2d(
     padding: int = 0,
     dilation: int = 1,
     deformable_groups: int = 1,
+    max_offset: int | None = None,
 ) -> jnp.ndarray:
     """(Modulated) deformable conv.
 
@@ -75,7 +76,15 @@ def deform_conv2d(
     offset: (B, Ho, Wo, 2·dg·k²) — CUDA channel layout (see module docstring)
     mask:   (B, Ho, Wo, dg·k²) or None (plain DCNv1)
     weight: (kh, kw, Cin, Cout)
+    max_offset: when set (and stride=dilation=1), dispatch to the gather-free
+        shift-and-weight path (:func:`deform_conv2d_windowed`) — ~10x faster
+        on TPU, exact for |offset| ≤ max_offset, zero contribution beyond.
     """
+    if max_offset is not None and stride == 1 and dilation == 1:
+        return deform_conv2d_windowed(
+            x, offset, weight, mask=mask, bias=bias, padding=padding,
+            deformable_groups=deformable_groups, max_offset=max_offset,
+        )
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = weight.shape
     K = kh * kw
@@ -117,6 +126,98 @@ def modulated_deform_conv2d(x, offset, mask, weight, bias=None, **kwargs):
     return deform_conv2d(x, offset, weight, mask=mask, bias=bias, **kwargs)
 
 
+def deform_conv2d_windowed(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    weight: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    bias: jnp.ndarray | None = None,
+    padding: int = 0,
+    deformable_groups: int = 1,
+    max_offset: int = 2,
+) -> jnp.ndarray:
+    """Gather-free deformable conv: bilinear sampling as shift-and-weight.
+
+    XLA's dynamic gather runs ~20x slower than a dense conv of the same
+    shapes on TPU (PERF_NOTES.md round 2), so this path re-expresses the
+    sampling TPU-natively: for every integer displacement ``d`` in a static
+    window, the input is statically shifted (pad+slice — pure data movement)
+    and multiplied by the closed-form bilinear weight map
+
+        w_t(d) = relu(1 − |off_y_t − d_y|) · relu(1 − |off_x_t − d_x|)
+
+    which is nonzero exactly at the floor/ceil corners of the sampling
+    position.  Σ_d shift(x, tap+d)·w_t(d) therefore equals the gathered
+    bilinear sample EXACTLY whenever |offset| ≤ max_offset; samples farther
+    away contribute zero (sampling support truncated to the window — the
+    one divergence from the CUDA semantics, acceptable where offsets are
+    known-small, e.g. EDVR's zero-init learned offsets).
+
+    stride=1, dilation=1 only (EDVR's configuration).  Layouts identical to
+    :func:`deform_conv2d`.
+    """
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    dg = deformable_groups
+    Cg = Cin // dg
+    R = int(max_offset)
+    Ho, Wo = H + 2 * padding - (kh - 1), W + 2 * padding - (kw - 1)
+
+    off = offset.reshape(B, Ho, Wo, dg, 2 * K)
+    msk = None if mask is None else mask.reshape(B, Ho, Wo, dg, K)
+    x_g = x.reshape(B, H, W, dg, Cg)
+
+    base_y = jnp.arange(Ho, dtype=x.dtype)[:, None] - padding
+    base_x = jnp.arange(Wo, dtype=x.dtype)[None, :] - padding
+
+    def shifted(sy: int, sx: int) -> jnp.ndarray:
+        """x_g sampled at (out_pixel + (sy, sx)) with zeros outside:
+        a static pad+slice, no gather.  Returns (B, Ho, Wo, dg, Cg)."""
+        y_lo, x_lo = sy - padding, sx - padding
+        pad_top = max(0, -y_lo)
+        pad_left = max(0, -x_lo)
+        pad_bottom = max(0, y_lo + Ho - H)
+        pad_right = max(0, x_lo + Wo - W)
+        xp = jnp.pad(
+            x_g,
+            ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right), (0, 0), (0, 0)),
+        )
+        y0, x0 = y_lo + pad_top, x_lo + pad_left
+        return xp[:, y0 : y0 + Ho, x0 : x0 + Wo]
+
+    cols = []
+    for tap in range(K):
+        i, j = divmod(tap, kw)
+        oy = off[..., 2 * tap]
+        ox = off[..., 2 * tap + 1]
+        py = base_y[None, :, :, None] + i + oy  # absolute sample row
+        px = base_x[None, :, :, None] + j + ox
+        inside = ((py > -1) & (px > -1) & (py < H) & (px < W)).astype(x.dtype)
+        acc = None
+        for dy in range(-R, R + 2):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy))
+            for dx in range(-R, R + 2):
+                wgt = wy * jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx))
+                # zero out corners outside the image (the CUDA bilinear's
+                # per-corner bounds checks): corner position = base+tap+d
+                cy = base_y[None, :, :, None] + i + dy
+                cx = base_x[None, :, :, None] + j + dx
+                ok = ((cy >= 0) & (cy <= H - 1) & (cx >= 0) & (cx <= W - 1)).astype(x.dtype)
+                term = shifted(i + dy, j + dx) * (wgt * ok)[..., None]
+                acc = term if acc is None else acc + term
+        acc = acc * inside[..., None]
+        if msk is not None:
+            acc = acc * msk[..., tap][..., None]
+        cols.append(acc)
+    col = jnp.stack(cols, axis=3)  # (B, Ho, Wo, K, dg, Cg)
+    w = weight.reshape(K, dg, Cg, Cout)
+    out = jnp.einsum("bijkgc,kgco->bijo", col, w)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 # --------------------------------------------------------------------------
 # Module wrappers mirroring the reference's four exported classes
 # (``dcn/deform_conv.py``: DeformConv, DeformConvPack, ModulatedDeformConv,
@@ -141,6 +242,7 @@ def _make_modules():
         dilation: int = 1
         deformable_groups: int = 1
         use_bias: bool = False  # reference DeformConv has no bias
+        max_offset: int | None = None  # windowed fast path when set
 
         @nn.compact
         def __call__(self, x, offset):
@@ -156,6 +258,7 @@ def _make_modules():
             return deform_conv2d(
                 x, offset, weight, bias=bias, stride=self.stride, padding=self.padding,
                 dilation=self.dilation, deformable_groups=self.deformable_groups,
+                max_offset=self.max_offset,
             )
 
     class ModulatedDeformConv(DeformConv):
@@ -177,6 +280,7 @@ def _make_modules():
             return modulated_deform_conv2d(
                 x, offset, mask, weight, bias, stride=self.stride, padding=self.padding,
                 dilation=self.dilation, deformable_groups=self.deformable_groups,
+                max_offset=self.max_offset,
             )
 
     class DeformConvPack(DeformConv):
@@ -197,6 +301,7 @@ def _make_modules():
             return deform_conv2d(
                 x, offset, weight, stride=self.stride, padding=self.padding,
                 dilation=self.dilation, deformable_groups=dg,
+                max_offset=self.max_offset,
             )
 
     class ModulatedDeformConvPack(nn.Module):
@@ -210,6 +315,7 @@ def _make_modules():
         dilation: int = 1
         deformable_groups: int = 1
         extra_offset_mask: bool = False
+        max_offset: int | None = None  # windowed fast path when set
 
         @nn.compact
         def __call__(self, x, offset_features=None):
@@ -231,6 +337,7 @@ def _make_modules():
             return modulated_deform_conv2d(
                 x, offset, mask, weight, bias, stride=self.stride, padding=self.padding,
                 dilation=self.dilation, deformable_groups=dg,
+                max_offset=self.max_offset,
             )
 
     return DeformConv, ModulatedDeformConv, DeformConvPack, ModulatedDeformConvPack

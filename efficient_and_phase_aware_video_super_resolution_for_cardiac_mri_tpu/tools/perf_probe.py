@@ -287,6 +287,49 @@ def probe_out(T, HW, dtype, iters, feats=64, core=30, factor=4):
     return {"sec": sec, "tflops": flops / sec / 1e12}
 
 
+def probe_dcn(T, HW, dtype, iters, cin=128, cout=128, dg=8, k=3):
+    """Pure-XLA modulated deformable conv (ops/deform_conv.py) at EDVR-like
+    shapes: B = 5 aligned frames, HW spatial, 128ch, 8 deformable groups.
+    tflops counts the GEMM contraction; the k² bilinear gathers ride the VPU
+    and are the overhead the SURVEY §7 Pallas kernel would target."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.deform_conv import deform_conv2d
+
+    rng = np.random.default_rng(0)
+    B, K = 5, k * k
+    x = jnp.asarray(rng.standard_normal((B, HW, HW, cin)), dtype)
+    offset = jnp.asarray(rng.uniform(-2, 2, (B, HW, HW, 2 * dg * K)), dtype)
+    mask = jnp.asarray(rng.uniform(0, 1, (B, HW, HW, dg * K)), dtype)
+    w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.01, dtype)
+    reps = 10
+
+    def once(c):
+        y = deform_conv2d(c, offset, w, mask=mask, padding=k // 2, deformable_groups=dg)
+        return c + 1e-6 * y[..., :cin]
+
+    f = jax.jit(lambda c: _repeat(once, c, reps))
+    sec = _timeit(f, iters, x)
+    gemm_flops = reps * B * HW * HW * K * cin * cout * 2
+    # dense-conv equivalence probe for the same shapes
+    def dense(c):
+        y = jax.lax.conv_general_dilated(
+            c, w, (1, 1), [(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return c + 1e-6 * y[..., :cin]
+
+    fd = jax.jit(lambda c: _repeat(dense, c, reps))
+    dense_sec = _timeit(fd, iters, x)
+    return {
+        "sec": sec,
+        "tflops_gemm": gemm_flops / sec / 1e12,
+        "dense_conv_sec": dense_sec,
+        "overhead_vs_dense": sec / dense_sec,
+    }
+
+
 def probe_full(T, HW, dtype, iters):
     import jax
     import jax.numpy as jnp
@@ -319,6 +362,7 @@ PROBES = {
     "refine": probe_refine,
     "refine2d": probe_refine2d,
     "refine_pad": probe_refine_pad,
+    "dcn": probe_dcn,
     "out": probe_out,
     "full": probe_full,
 }

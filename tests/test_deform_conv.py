@@ -302,3 +302,86 @@ def test_gradients_match_torch_oracle():
     np.testing.assert_allclose(np.asarray(jg[3]), tw.grad.numpy().transpose(2, 3, 1, 0),
                                atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(jg[4]), tb.grad.numpy(), atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Windowed (gather-free, shift-and-weight) fast path — 9.5x the gather path
+# on TPU (PERF_NOTES round 2); exact for |offset| <= max_offset.
+
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.ops.deform_conv import (
+    deform_conv2d_windowed,
+)
+
+
+@pytest.mark.parametrize("padding,dg,with_mask", [(1, 2, True), (0, 1, True), (2, 2, False)])
+def test_windowed_matches_bruteforce_in_window(padding, dg, with_mask):
+    """Against the independent scalar-loop CUDA port, offsets within the
+    window: identical to the reference semantics."""
+    case = _oracle_case(seed=padding * 10 + dg, dg=dg, with_mask=with_mask)
+    x, weight, bias = case["x"], case["weight"], case["bias"]
+    B, H, W, _ = x.shape
+    k = case["k"]
+    Ho, Wo = H + 2 * padding - (k - 1), W + 2 * padding - (k - 1)
+    offset, mask = _offsets_for(case, Ho, Wo, scale=1.9)  # inside R=2
+
+    got = deform_conv2d_windowed(
+        x, offset, weight, mask=mask, bias=bias,
+        padding=padding, deformable_groups=dg, max_offset=2,
+    )
+    want = modulated_deform_conv_naive(
+        x.transpose(0, 3, 1, 2), offset.transpose(0, 3, 1, 2),
+        None if mask is None else mask.transpose(0, 3, 1, 2),
+        weight.transpose(3, 2, 0, 1), bias,
+        stride=1, padding=padding, dilation=1, deformable_groups=dg,
+    ).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-4)
+
+
+def test_windowed_truncates_out_of_window_samples():
+    """Samples farther than max_offset contribute ZERO (the documented
+    divergence from the unbounded gather semantics)."""
+    case = _oracle_case(seed=99, dg=1)
+    x, weight, bias = case["x"], case["weight"], case["bias"]
+    offset = np.full((2, x.shape[1], x.shape[2], 2 * K * K), 5.0, np.float32)
+    mask = np.ones((2, x.shape[1], x.shape[2], K * K), np.float32)
+    out = deform_conv2d_windowed(
+        x, offset, weight, mask=mask, bias=bias,
+        padding=1, deformable_groups=1, max_offset=2,
+    )
+    # every sample truncated -> output is exactly the bias
+    np.testing.assert_allclose(
+        np.asarray(out), np.broadcast_to(bias, out.shape), atol=1e-6
+    )
+
+
+def test_windowed_gradients_match_gather_path():
+    case = _oracle_case(seed=21, dg=2)
+    x, weight, bias = case["x"], case["weight"], case["bias"]
+    offset, mask = _offsets_for(case, x.shape[1], x.shape[2], scale=1.5)
+
+    def loss(fn):
+        def inner(x_, off_, msk_, w_, b_):
+            out = fn(x_, off_, w_, mask=msk_, bias=b_, padding=1, deformable_groups=2)
+            return jnp.sum(out ** 2)
+        return jax.grad(inner, argnums=(0, 1, 2, 3, 4))(x, offset, mask, weight, bias)
+
+    g_gather = loss(deform_conv2d)
+    g_windowed = loss(
+        lambda *a, **kw: deform_conv2d_windowed(*a, max_offset=2, **kw)
+    )
+    for a, b in zip(g_gather, g_windowed):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+
+
+def test_edvr_windowed_dcn_matches_gather():
+    """EDVRNet with dcn_max_offset set reproduces the exact-gather net when
+    the learned offsets are small (they are zero-init in the reference)."""
+    kwargs = dict(in_channels=1, out_channels=1, nf=8, nframes=5, groups=2,
+                  front_RBs=1, back_RBs=1)
+    lr = np.random.default_rng(8).standard_normal((1, 5, 12, 12, 1)).astype(np.float32)
+    exact = EDVRNet(**kwargs)
+    variables = exact.init(jax.random.PRNGKey(0), lr)
+    fast = EDVRNet(**kwargs, dcn_max_offset=3)
+    a = exact.apply(variables, lr)
+    b = fast.apply(variables, lr)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
