@@ -264,6 +264,18 @@ def main(out: Path, data_root: str, models_root: str):
                               dataset_prefix="Dsb15", suffix="_dsb15")
             _dump(cfg, out / "test" / family / f"exp1_x{factor}_dsb15.yaml")
             count += 1
+    # TPU-extension showcase configs (no reference counterpart): the flagship
+    # with the framework's TPU knobs — bf16 compute, eval T-bucketing, and a
+    # data-parallel mesh for training (see README "TPU specifics")
+    tpu_train = train_config("refine_net", 4, data_root, models_root)
+    tpu_train["main"]["saved_dir"] = f"{models_root}/acdc/refine_net/exp1_x4_tpu/train"
+    tpu_train["trainer"]["kwargs"]["compute_dtype"] = "bfloat16"
+    tpu_train["parallel"] = {"num_devices": 8}
+    _dump(tpu_train, out / "train" / "refine_net" / "exp1_x4_tpu.yaml")
+    tpu_test = test_config("refine_net", 4, data_root, models_root, suffix="_tpu")
+    tpu_test["predictor"]["kwargs"].update(compute_dtype="bfloat16", t_bucket=8)
+    _dump(tpu_test, out / "test" / "refine_net" / f"exp1_x4_tpu.yaml")
+    count += 2
     print(f"Wrote {count} configs under {out}.")
 
 

@@ -140,3 +140,35 @@ def test_generated_bicubic_config(tmp_path_factory, tree):
             m.kwargs.coordinates_path = str(tree["coordinates_path"])
     predictor = run_test_config(cfg)
     assert predictor.log["PSNR"] > 10
+
+
+def test_generated_tpu_extras_configs(tmp_path_factory, tree):
+    """The TPU-extension showcase configs (exp1_x4_tpu): training with
+    compute_dtype=bfloat16 over the 8-fake-device data mesh, eval with bf16 +
+    T-bucketing — all through the real config path."""
+    import yaml as _yaml
+
+    out_dir = tmp_path_factory.mktemp("tpu_extras")
+    train_cfg = gen_configs.train_config("refine_net", 4, "UNUSED", "UNUSED")
+    train_cfg["trainer"]["kwargs"]["compute_dtype"] = "bfloat16"
+    train_cfg["parallel"] = {"num_devices": 8}
+    cfg = _patch(Cfg(train_cfg), tree, out_dir, "refine_net", "train")
+    cfg.dataloader.kwargs.train_batch_size = 8  # divisible over the mesh
+    trainer = train_from_config(cfg)
+    assert np.isfinite(trainer.monitor.best)
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 8
+
+    test_cfg = gen_configs.test_config("refine_net", 4, "UNUSED", "UNUSED", suffix="_tpu")
+    test_cfg["predictor"]["kwargs"].update(compute_dtype="bfloat16", t_bucket=8)
+    predictor = run_test_config(_patch(Cfg(test_cfg), tree, out_dir, "refine_net", "test"))
+    assert np.isfinite(predictor.log["Loss"])
+    assert predictor.log["PSNR"] > 0
+
+    # the committed YAMLs carry the same knobs
+    with open("configs/train/refine_net/exp1_x4_tpu.yaml") as f:
+        committed = _yaml.safe_load(f)
+    assert committed["trainer"]["kwargs"]["compute_dtype"] == "bfloat16"
+    assert committed["parallel"] == {"num_devices": 8}
+    with open("configs/test/refine_net/exp1_x4_tpu.yaml") as f:
+        committed = _yaml.safe_load(f)
+    assert committed["predictor"]["kwargs"]["t_bucket"] == 8
