@@ -219,7 +219,21 @@ def test_from_config(cfg: Cfg):
     return predictor
 
 
+def _raise_nofile_limit(target: int = 2048):
+    """Raise RLIMIT_NOFILE like the reference entry point (``src/main.py:12-14``)
+    — many NIfTI files can be open across loader threads."""
+    try:
+        import resource
+
+        soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+        if soft < target:
+            resource.setrlimit(resource.RLIMIT_NOFILE, (min(target, hard), hard))
+    except Exception:  # non-POSIX or restricted environments
+        pass
+
+
 def main(config_path, test: bool = False):
+    _raise_nofile_limit()
     cfg = load_config(config_path)
     return test_from_config(cfg) if test else train_from_config(cfg)
 
