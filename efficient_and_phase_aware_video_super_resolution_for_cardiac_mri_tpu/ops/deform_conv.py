@@ -33,8 +33,8 @@ def _bilinear_group_sample(x_g: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray) -
     B, H, W, G, Cg = x_g.shape
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)
-    wy = (py - y0)[..., None]
-    wx = (px - x0)[..., None]
+    wy = (py - y0)[..., None].astype(x_g.dtype)
+    wx = (px - x0)[..., None].astype(x_g.dtype)
 
     b_idx = jnp.arange(B)[:, None, None, None]
     g_idx = jnp.arange(G)[None, None, None, :]
@@ -78,7 +78,8 @@ def deform_conv2d(
     weight: (kh, kw, Cin, Cout)
     max_offset: when set (and stride=dilation=1), dispatch to the gather-free
         shift-and-weight path (:func:`deform_conv2d_windowed`) — ~10x faster
-        on TPU, exact for |offset| ≤ max_offset, zero contribution beyond.
+        on TPU, exact for |offset| ≤ max_offset, linearly attenuating to zero
+        by |offset| = max_offset+1.
     """
     if max_offset is not None and stride == 1 and dilation == 1:
         return deform_conv2d_windowed(
@@ -97,11 +98,12 @@ def deform_conv2d(
 
     x_g = x.reshape(B, H, W, dg, Cg)
     # offsets per group/tap: (B, Ho, Wo, dg, 2k²)
-    off = offset.reshape(B, Ho, Wo, dg, 2 * K)
+    off = offset.reshape(B, Ho, Wo, dg, 2 * K).astype(jnp.float32)
     msk = None if mask is None else mask.reshape(B, Ho, Wo, dg, K)
 
-    base_y = jnp.arange(Ho, dtype=x.dtype)[:, None] * stride - padding  # (Ho, 1)
-    base_x = jnp.arange(Wo, dtype=x.dtype)[None, :] * stride - padding  # (1, Wo)
+    # coordinate math in f32: bf16 cannot represent pixel indices above 256
+    base_y = jnp.arange(Ho, dtype=jnp.float32)[:, None] * stride - padding  # (Ho, 1)
+    base_x = jnp.arange(Wo, dtype=jnp.float32)[None, :] * stride - padding  # (1, Wo)
 
     cols = []
     for tap_idx in range(K):
@@ -109,6 +111,15 @@ def deform_conv2d(
         py = base_y[None, :, :, None] + i * dilation + off[..., 2 * tap_idx]
         px = base_x[None, :, :, None] + j * dilation + off[..., 2 * tap_idx + 1]
         sampled = _bilinear_group_sample(x_g, py, px)  # (B, Ho, Wo, dg, Cg)
+        # the CUDA kernel's OUTER bounds check (h_im > -1 && ... < H,
+        # .cu:617-624 and the coordinate-weight early-out :503-507): as a
+        # non-differentiable mask it also zeroes the offset GRADIENT at
+        # out-of-image sampling positions — without it, autodiff leaks a
+        # spurious boundary gradient through the zero-weight corner at the
+        # knife-edge py == -1 (hit exactly when offsets are integers,
+        # e.g. the zero-init state)
+        inside = ((py > -1) & (px > -1) & (py < H) & (px < W)).astype(x.dtype)
+        sampled = sampled * inside[..., None]
         if msk is not None:
             sampled = sampled * msk[..., tap_idx][..., None]
         cols.append(sampled)
@@ -140,18 +151,21 @@ def deform_conv2d_windowed(
 
     XLA's dynamic gather runs ~20x slower than a dense conv of the same
     shapes on TPU (PERF_NOTES.md round 2), so this path re-expresses the
-    sampling TPU-natively: for every integer displacement ``d`` in a static
-    window, the input is statically shifted (pad+slice — pure data movement)
-    and multiplied by the closed-form bilinear weight map
+    sampling TPU-natively: for every integer displacement ``d`` in the static
+    window [−R, R], the input is statically shifted (pad+slice — pure data
+    movement) and multiplied by the floor-indicator bilinear weight map
 
-        w_t(d) = relu(1 − |off_y_t − d_y|) · relu(1 − |off_x_t − d_x|)
+        w_t(d) = (1−frac)·[d == ⌊off⌋] + frac·[d == ⌊off⌋+1],  frac = off − ⌊off⌋
 
-    which is nonzero exactly at the floor/ceil corners of the sampling
-    position.  Σ_d shift(x, tap+d)·w_t(d) therefore equals the gathered
-    bilinear sample EXACTLY whenever |offset| ≤ max_offset; samples farther
-    away contribute zero (sampling support truncated to the window — the
-    one divergence from the CUDA semantics, acceptable where offsets are
-    known-small, e.g. EDVR's zero-init learned offsets).
+    (per axis; the product of the y and x maps).  This is the SAME corner
+    selection and the SAME derivative as the CUDA bilinear (gradients flow
+    only through ``frac`` — the forward difference, including at integer
+    offsets where a tent `relu(1−|off−d|)` would tie-split).  The result
+    equals the gathered sample EXACTLY whenever |offset| ≤ max_offset;
+    beyond, contributions attenuate linearly (the missing corner drops) and
+    vanish at |offset| ≥ max_offset+1 — the one documented divergence from
+    the unbounded CUDA semantics, acceptable where offsets are known-small
+    (e.g. EDVR's zero-init learned offsets).
 
     stride=1, dilation=1 only (EDVR's configuration).  Layouts identical to
     :func:`deform_conv2d`.
@@ -164,12 +178,15 @@ def deform_conv2d_windowed(
     R = int(max_offset)
     Ho, Wo = H + 2 * padding - (kh - 1), W + 2 * padding - (kw - 1)
 
-    off = offset.reshape(B, Ho, Wo, dg, 2 * K)
+    # coordinate math in f32 regardless of compute dtype: bf16 cannot
+    # represent integer pixel positions above 256
+    coord = jnp.float32
+    off = offset.reshape(B, Ho, Wo, dg, 2 * K).astype(coord)
     msk = None if mask is None else mask.reshape(B, Ho, Wo, dg, K)
     x_g = x.reshape(B, H, W, dg, Cg)
 
-    base_y = jnp.arange(Ho, dtype=x.dtype)[:, None] - padding
-    base_x = jnp.arange(Wo, dtype=x.dtype)[None, :] - padding
+    base_y = jnp.arange(Ho, dtype=coord)[:, None] - padding
+    base_x = jnp.arange(Wo, dtype=coord)[None, :] - padding
 
     def shifted(sy: int, sx: int) -> jnp.ndarray:
         """x_g sampled at (out_pixel + (sy, sx)) with zeros outside:
@@ -186,6 +203,13 @@ def deform_conv2d_windowed(
         y0, x0 = y_lo + pad_top, x_lo + pad_left
         return xp[:, y0 : y0 + Ho, x0 : x0 + Wo]
 
+    def corner_weights(o, d):
+        """(1−frac)·[d==floor] + frac·[d==floor+1]; grads flow through frac
+        only — identical to the CUDA bilinear derivative."""
+        fl = jnp.floor(o)
+        frac = o - fl
+        return jnp.where(d == fl, 1.0 - frac, 0.0) + jnp.where(d == fl + 1, frac, 0.0)
+
     cols = []
     for tap in range(K):
         i, j = divmod(tap, kw)
@@ -195,16 +219,16 @@ def deform_conv2d_windowed(
         px = base_x[None, :, :, None] + j + ox
         inside = ((py > -1) & (px > -1) & (py < H) & (px < W)).astype(x.dtype)
         acc = None
-        for dy in range(-R, R + 2):
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy))
-            for dx in range(-R, R + 2):
-                wgt = wy * jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx))
+        for dy in range(-R, R + 1):
+            wy = corner_weights(oy, dy)
+            for dx in range(-R, R + 1):
+                wgt = wy * corner_weights(ox, dx)
                 # zero out corners outside the image (the CUDA bilinear's
                 # per-corner bounds checks): corner position = base+tap+d
                 cy = base_y[None, :, :, None] + i + dy
                 cx = base_x[None, :, :, None] + j + dx
-                ok = ((cy >= 0) & (cy <= H - 1) & (cx >= 0) & (cx <= W - 1)).astype(x.dtype)
-                term = shifted(i + dy, j + dx) * (wgt * ok)[..., None]
+                ok = (cy >= 0) & (cy <= H - 1) & (cx >= 0) & (cx <= W - 1)
+                term = shifted(i + dy, j + dx) * (wgt * ok).astype(x.dtype)[..., None]
                 acc = term if acc is None else acc + term
         acc = acc * inside[..., None]
         if msk is not None:

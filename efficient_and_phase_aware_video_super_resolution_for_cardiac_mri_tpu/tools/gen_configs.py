@@ -273,6 +273,10 @@ def main(out: Path, data_root: str, models_root: str):
     tpu_train["parallel"] = {"num_devices": 8}
     _dump(tpu_train, out / "train" / "refine_net" / "exp1_x4_tpu.yaml")
     tpu_test = test_config("refine_net", 4, data_root, models_root, suffix="_tpu")
+    # evaluate the TPU-trained checkpoint, not the plain exp1_x4 run
+    tpu_test["main"]["loaded_path"] = (
+        f"{models_root}/acdc/refine_net/exp1_x4_tpu/train/checkpoints/model_best.pth"
+    )
     tpu_test["predictor"]["kwargs"].update(compute_dtype="bfloat16", t_bucket=8)
     _dump(tpu_test, out / "test" / "refine_net" / f"exp1_x4_tpu.yaml")
     count += 2

@@ -239,7 +239,7 @@ def probe_refine_pad(T, HW, dtype, iters, feats=64, window=5, pad_to=136):
     def once(x):
         B, T_, H, W, C_ = x.shape
         y = jax.lax.conv_general_dilated(
-            x, k3d.transpose(0, 1, 2, 3, 4), (1, 1, 1),
+            x, k3d, (1, 1, 1),
             [(0, 0), (1, 1), (1, 1)],
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )  # (B, K, H, W, C)

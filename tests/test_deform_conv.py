@@ -385,3 +385,49 @@ def test_edvr_windowed_dcn_matches_gather():
     a = exact.apply(variables, lr)
     b = fast.apply(variables, lr)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+
+
+def test_windowed_gradients_match_at_integer_offsets():
+    """The CUDA bilinear's derivative at integer offsets is the forward
+    difference (frac = 0 exactly, e.g. EDVR's zero-init offsets at step 1);
+    the floor-indicator weights reproduce it — a tent relu(1-|off-d|) would
+    tie-split across jnp.maximum and diverge here."""
+    case = _oracle_case(seed=31, dg=2)
+    x, weight, bias = case["x"], case["weight"], case["bias"]
+    B, H, W, _ = x.shape
+    offset = np.zeros((B, H, W, 2 * 2 * 9), np.float32)  # exactly integer
+    mask = np.random.default_rng(32).uniform(0, 1, (B, H, W, 2 * 9)).astype(np.float32)
+
+    def loss(fn):
+        def inner(x_, off_, w_):
+            out = fn(x_, off_, w_, mask=mask, bias=bias, padding=1, deformable_groups=2)
+            return jnp.sum(out ** 2)
+        return jax.grad(inner, argnums=(0, 1))(x, offset, weight)
+
+    g_gather = loss(deform_conv2d)
+    g_windowed = loss(lambda *a, **kw: deform_conv2d_windowed(*a, max_offset=2, **kw))
+    for a, b in zip(g_gather, g_windowed):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+
+
+def test_windowed_attenuation_is_symmetric_beyond_window():
+    """Beyond the window the missing corner drops: contributions attenuate
+    LINEARLY and symmetrically in the offset sign, vanishing at R+1."""
+    case = _oracle_case(seed=41, dg=1)
+    x, weight, bias = case["x"], case["weight"], case["bias"]
+    B, H, W, _ = x.shape
+
+    def out_for(off_val):
+        offset = np.full((B, H, W, 2 * K * K), off_val, np.float32)
+        return np.asarray(deform_conv2d_windowed(
+            x, offset, weight, bias=bias, padding=1, deformable_groups=1, max_offset=2,
+        )) - bias
+
+    plus, minus = out_for(2.5), out_for(-2.5)
+    # both attenuated relative to an in-window sample, by the same factor
+    assert np.abs(plus).sum() > 0 and np.abs(minus).sum() > 0
+    ratio = np.abs(plus).sum() / np.abs(out_for(2.0) - 0).sum()
+    ratio_neg = np.abs(minus).sum() / np.abs(out_for(-2.0) - 0).sum()
+    assert ratio < 0.8 and ratio_neg < 0.8  # attenuated
+    np.testing.assert_allclose(out_for(3.0), 0.0, atol=1e-5)  # vanished at R+1
+    np.testing.assert_allclose(out_for(-3.0), 0.0, atol=1e-5)

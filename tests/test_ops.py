@@ -92,10 +92,10 @@ def test_perf_probe_smoke():
     )
 
     results = perf_probe.main(
-        ["--probes", "null,conv_chain,conv_batched,lstm,refine,refine2d,out",
+        ["--probes", "null,conv_chain,conv_batched,lstm,refine,refine2d,refine_pad,dcn,out",
          "--t", "6", "--hw", "8", "--iters", "1"]
     )
     assert set(results) == {"null", "conv_chain", "conv_batched", "lstm",
-                            "refine", "refine2d", "out"}
+                            "refine", "refine2d", "refine_pad", "dcn", "out"}
     for name, row in results.items():
         assert row["sec"] > 0, name
