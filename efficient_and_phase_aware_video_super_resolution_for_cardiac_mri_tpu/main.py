@@ -245,7 +245,8 @@ def _parse_args():
     return parser.parse_args()
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point (``evsr CONFIG [--test]`` — pyproject.toml)."""
     logging.basicConfig(
         format="%(asctime)s | %(levelname)s | %(message)s",
         level=logging.INFO,
@@ -253,3 +254,7 @@ if __name__ == "__main__":
     )
     args = _parse_args()
     main(args.config_path, args.test)
+
+
+if __name__ == "__main__":
+    cli()
