@@ -431,3 +431,29 @@ def test_windowed_attenuation_is_symmetric_beyond_window():
     assert ratio < 0.8 and ratio_neg < 0.8  # attenuated
     np.testing.assert_allclose(out_for(3.0), 0.0, atol=1e-5)  # vanished at R+1
     np.testing.assert_allclose(out_for(-3.0), 0.0, atol=1e-5)
+
+
+def test_edvr_windowed_training_grads_match_gather():
+    """Training through EDVR with the windowed DCN: gradients (incl. the
+    conv_offset_mask params feeding the deformable sampling) match the
+    exact-gather net at the zero-init offset state."""
+    kwargs = dict(in_channels=1, out_channels=1, nf=8, nframes=5, groups=2,
+                  front_RBs=1, back_RBs=1)
+    rng = np.random.default_rng(9)
+    lr = rng.standard_normal((1, 5, 8, 8, 1)).astype(np.float32)
+    hr = rng.standard_normal((1, 32, 32, 1)).astype(np.float32)
+    exact = EDVRNet(**kwargs)
+    variables = exact.init(jax.random.PRNGKey(0), lr)
+    fast = EDVRNet(**kwargs, dcn_max_offset=3)
+
+    def loss(model):
+        return jax.grad(
+            lambda p: jnp.mean(jnp.abs(model.apply({"params": p}, lr) - hr))
+        )(variables["params"])
+
+    g_exact, g_fast = loss(exact), loss(fast)
+    flat_e = jax.tree.leaves(g_exact)
+    flat_f = jax.tree.leaves(g_fast)
+    for a, b in zip(flat_e, flat_f):
+        assert np.all(np.isfinite(np.asarray(b)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3)
