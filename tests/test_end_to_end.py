@@ -301,3 +301,18 @@ def test_train_bf16_compute_dtype(tree, tmp_path_factory):
     # master params and optimizer state remain f32
     leaves = jax.tree.leaves(trainer.params)
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_training_converges(tree, tmp_path_factory):
+    """The optimization actually learns: 12 epochs of the tiny flagship gain
+    >2 dB validation PSNR over the 1-epoch model (empirically ~+4 dB by
+    epoch 14 on the synthetic tree)."""
+    def best_psnr(epochs, out):
+        cfg = _train_cfg(tree, out)
+        cfg.trainer.kwargs.update(device="cpu", num_epochs=epochs)
+        cfg.monitor.kwargs.update(target="PSNR", mode="max")
+        return train_from_config(cfg).monitor.best
+
+    one = best_psnr(1, tmp_path_factory.mktemp("conv1"))
+    twelve = best_psnr(12, tmp_path_factory.mktemp("conv12"))
+    assert twelve > one + 2.0, (one, twelve)
