@@ -283,7 +283,34 @@ class BaseTrainer:
         return log, batch, outputs
 
     def train(self):
-        """Epoch protocol of reference ``base_trainer.py:46-97``."""
+        """Epoch protocol of reference ``base_trainer.py:46-97``.
+
+        Preemption-safe (TPU extension, SURVEY §5 failure recovery): SIGTERM
+        requests a checkpoint at the end of the current epoch and a clean
+        exit; ``loaded_path: auto`` then resumes from it.
+        """
+        import signal
+
+        self._preempt_requested = False
+
+        def _on_term(signum, frame):
+            self._preempt_requested = True
+            LOG.warning(
+                "SIGTERM received: checkpointing and exiting at the end of this epoch."
+            )
+
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:
+            pass  # not the main thread (e.g. embedded) — no handler
+        try:
+            self._train_loop()
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _train_loop(self):
         while self.epoch <= self.num_epochs:
             seeds = self.seed_state.np_random_seeds
             while self.epoch - 1 >= len(seeds):
@@ -334,6 +361,12 @@ class BaseTrainer:
 
             if self.monitor and self.monitor.is_early_stopped():
                 LOG.info("Early stopped.")
+                break
+            if self._preempt_requested:
+                if self.monitor:
+                    path = self.monitor.checkpoints_dir / "model_preempted.pth"
+                    self.save(path)
+                    LOG.info(f"Preemption checkpoint saved to {path}; exiting.")
                 break
             self.epoch += 1
         if self.logger is not None:

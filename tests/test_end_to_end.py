@@ -11,6 +11,7 @@ import jax
 import numpy as np
 import pytest
 import yaml
+from pathlib import Path
 
 from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import Cfg
 from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main import (
@@ -316,3 +317,51 @@ def test_training_converges(tree, tmp_path_factory):
     one = best_psnr(1, tmp_path_factory.mktemp("conv1"))
     twelve = best_psnr(12, tmp_path_factory.mktemp("conv12"))
     assert twelve > one + 2.0, (one, twelve)
+
+
+def test_sigterm_preemption_checkpoints_and_resumes(tree, tmp_path_factory):
+    """Preemption safety: SIGTERM mid-training checkpoints at the epoch
+    boundary and exits cleanly; loaded_path: auto resumes from it."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    out = tmp_path_factory.mktemp("preempt")
+    cfg = _train_cfg(tree, out / "train")
+    cfg.trainer.kwargs.update(device="cpu", num_epochs=500)
+    cfg.dataloader.kwargs.update(num_workers=0)
+    cfg_path = out / "train.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)
+
+    script = textwrap.dedent(f"""
+        import sys; sys.path.insert(0, {str(Path.cwd())!r})
+        from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import load_config
+        from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main import train_from_config
+        train_from_config(load_config({str(cfg_path)!r}))
+        print("TRAIN_EXITED_CLEANLY", flush=True)
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script], stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    # let a couple of epochs complete, then preempt
+    deadline = time.time() + 240
+    ckpt_dir = out / "train" / "checkpoints"
+    while time.time() < deadline and not (ckpt_dir / "model_best.pth").exists():
+        time.sleep(1)
+        assert proc.poll() is None, proc.stdout.read()[-1500:]
+    os.kill(proc.pid, signal.SIGTERM)
+    stdout, _ = proc.communicate(timeout=240)
+    assert proc.returncode == 0, stdout[-1500:]
+    assert "TRAIN_EXITED_CLEANLY" in stdout
+    assert (ckpt_dir / "model_preempted.pth").exists(), stdout[-1000:]
+
+    # auto-resume picks the newest checkpoint and continues
+    cfg.main.loaded_path = "auto"
+    cfg.trainer.kwargs.num_epochs = 3
+    trainer = train_from_config(cfg)
+    assert np.isfinite(trainer.monitor.best)
