@@ -24,17 +24,24 @@ def make_acdc_tree(
     factors: tuple[int, ...] = (4,),
     splits: tuple[str, ...] = ("train", "valid", "test"),
     seed: int = 0,
+    frames_per_patient: list[int] | None = None,
 ) -> dict:
-    """Create videos/ + imgs/ trees; returns metadata dict."""
+    """Create videos/ + imgs/ trees; returns metadata dict.
+
+    ``frames_per_patient`` (cycled per patient within each split) makes
+    patients differ in cycle length like real ACDC — the variable-T case the
+    predictors' t_bucket option exists for."""
     rng = np.random.default_rng(seed)
     root = Path(root)
     H, W = hr_size
     pos_codes, coords = {}, {}
     pid = 0
     for split in splits:
-        for _ in range(patients_per_split):
+        for p_idx in range(patients_per_split):
             pid += 1
             patient = f"patient{pid:03d}"
+            if frames_per_patient:
+                frames = frames_per_patient[p_idx % len(frames_per_patient)]
             # smooth-ish random video in [0, 255]
             base = rng.uniform(40, 200, size=(H, W, 1, 1)).astype(np.float32)
             wave = 40 * np.sin(np.linspace(0, 2 * np.pi, frames, endpoint=False)).astype(np.float32)

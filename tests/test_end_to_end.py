@@ -365,3 +365,58 @@ def test_sigterm_preemption_checkpoints_and_resumes(tree, tmp_path_factory):
     cfg.trainer.kwargs.num_epochs = 3
     trainer = train_from_config(cfg)
     assert np.isfinite(trainer.monitor.best)
+
+
+def test_t_bucketing_on_variable_length_patients(tmp_path_factory):
+    """The actual motivation for t_bucket: patients with DIFFERENT cycle
+    lengths share one XLA executable per bucket instead of one per distinct
+    T, with per-frame rows still matching each patient's true length."""
+    import csv as _csv
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner import (
+        predictors as P,
+    )
+
+    vtree = make_acdc_tree(
+        tmp_path_factory.mktemp("acdc_var"), hr_size=(48, 48),
+        frames_per_patient=[9, 11], patients_per_split=2,
+    )
+    train_dir = tmp_path_factory.mktemp("var_train")
+    cfg = _train_cfg(vtree, train_dir)
+    cfg.trainer.kwargs.update(num_epochs=1)
+    cfg.dataset.kwargs.update(num_frames=3, num_updated_frames=2)
+    cfg.net.kwargs.update(num_stages=1, num_updated_frames=2)
+    train_from_config(cfg)
+
+    out_dir = tmp_path_factory.mktemp("var_test")
+    cfg = _test_cfg(vtree, train_dir, out_dir)
+    cfg.net.kwargs.update(num_stages=1, num_updated_frames=2)
+    cfg.dataset.kwargs.update(num_frames=3, num_updated_frames=2)
+    cfg.predictor.kwargs.update(t_bucket=12, saved_dir=str(out_dir))
+
+    compiled_shapes = []
+    orig = P.BasePredictor._build_step
+
+    def counting_build(self):
+        orig(self)
+        inner = self._step
+
+        def step(params, state, batch, masks):
+            compiled_shapes.append(batch["lr_imgs"].shape)
+            return inner(params, state, batch, masks)
+
+        self._step = step
+
+    P.BasePredictor._build_step = counting_build
+    try:
+        predictor = run_test_config(cfg)
+    finally:
+        P.BasePredictor._build_step = orig
+
+    assert np.isfinite(predictor.log["Loss"])
+    # both patient lengths (9 and 11) bucket to 12 -> ONE padded shape
+    assert len(set(compiled_shapes)) == 1, set(compiled_shapes)
+    # per-frame CSV rows match each patient's TRUE length (9+11 per slice x2)
+    with open(out_dir / "results.csv") as f:
+        rows = list(_csv.reader(f))
+    assert len(rows) - 1 == (9 + 11) * 2
