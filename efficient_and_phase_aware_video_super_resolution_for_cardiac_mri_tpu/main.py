@@ -12,7 +12,10 @@ JAX backend (TPU if present, else CPU) — the configs stay portable.
 Optional extension section (absent from reference configs, defaulted off):
 
     parallel:
-        num_devices: 8     # data-parallel mesh size (default: all devices)
+        num_devices: 8      # mesh size (default: all devices)
+        spatial_parallel: 2 # shard the image height axis (halo via GSPMD)
+        model_parallel: 2   # tensor-parallel conv kernels (out-features)
+        # data-parallel size = num_devices / (spatial x model)
 
 """
 from __future__ import annotations
@@ -68,7 +71,11 @@ def build_mesh(cfg: Cfg):
 
     if parallel.get("multi_host"):
         distributed_initialize(parallel.get("coordinator_address"))
-    return make_mesh(parallel.get("num_devices"), parallel.get("model_parallel", 1))
+    return make_mesh(
+        parallel.get("num_devices"),
+        parallel.get("model_parallel", 1),
+        parallel.get("spatial_parallel", 1),
+    )
 
 
 def _build_losses(cfg: Cfg):

@@ -1,12 +1,36 @@
 """Device mesh + sharding helpers.
 
 The reference is strictly single-GPU (SURVEY.md §2.8); the TPU-native plan is
-data-parallel SPMD: a 1-D ``data`` mesh axis, batches sharded over it, params
-replicated, gradients all-reduced by XLA's SPMD partitioner (psum over ICI)
-when the jitted loss averages over the sharded batch axis.
+SPMD over a named mesh with up to three axes, all driven by sharding
+annotations (GSPMD inserts the collectives over ICI):
 
-The mesh is factored so a ``model`` axis can be added later without touching
-the runner (SURVEY.md §2.8).
+* ``data`` — batch axis sharded; gradients all-reduced by the partitioner
+  when the jitted loss averages over the sharded batch axis.
+* ``spatial`` — the image/volume height axis sharded.  Convolutions under
+  GSPMD get automatic halo exchange, so the whole conv-net forward/backward
+  partitions spatially without model changes.  This is the axis that scales a
+  SINGLE patient (batch-1 serving is chip-saturated — PERF_NOTES.md batch
+  sweep — so lower latency must come from splitting the frame, and it also
+  cuts per-device activation memory for large DSB15 volumes).
+* ``model`` — parameter sharding (ZeRO-3 / FSDP semantics): conv kernels are
+  STORED sharded on their out-feature axis — params + optimizer state divide
+  across the axis (the memory win for EDVR's 40-block trunk) — and gathered
+  at compute time via ``gather_for_compute`` inside the jitted step, so the
+  transient replicated copy lives only for the step.
+
+``spatial`` and ``model`` are mutually exclusive (``make_mesh`` enforces it):
+XLA's SPMD partitioner (jax 0.9.0) miscompiles convolutions whose spatially-
+sharded operands are additionally PARTIALLY REPLICATED over a third mesh
+axis — measured max-abs error 26 on the forward (feature-sharded kernel +
+halo) and 0.023 on the weight gradient (even with fully replicated kernels),
+on an 8-device CPU (data, spatial, model) mesh; every two-axis combination
+and 1x1 kernels are exact, and constraint placement only shuffles which
+variant breaks.  Each supported mesh (dp, dp x sp, dp x tp) is locked to
+single-device numerics by tests/test_parallel.py.
+
+The mesh is laid out (data, spatial, model) so the fastest-varying axes —
+the ones with per-layer collectives — sit on adjacent devices (innermost on
+an ICI torus).
 """
 from __future__ import annotations
 
@@ -15,20 +39,41 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 MODEL_AXIS = "model"
 
 
-def make_mesh(num_devices: int | None = None, model_parallel: int = 1) -> Mesh:
-    """1-D data mesh (optionally 2-D with a model axis)."""
+def make_mesh(
+    num_devices: int | None = None,
+    model_parallel: int = 1,
+    spatial_parallel: int = 1,
+) -> Mesh:
+    """Named mesh with a ``data`` axis and optional ``spatial``/``model`` axes.
+
+    ``data`` takes whatever is left: data = n / (spatial · model).
+    """
     devices = jax.devices()
     n = num_devices or len(devices)
-    devices = np.asarray(devices[:n])
-    if model_parallel > 1:
-        if n % model_parallel:
-            raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}.")
-        grid = devices.reshape(n // model_parallel, model_parallel)
-        return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
-    return Mesh(devices.reshape(n), (DATA_AXIS,))
+    sp, mp = spatial_parallel, model_parallel
+    if sp > 1 and mp > 1:
+        raise ValueError(
+            "spatial_parallel and model_parallel cannot be combined: XLA's "
+            "SPMD partitioner miscompiles convs whose spatially-sharded "
+            "operands are partially replicated over a third axis (see "
+            "parallel/mesh.py docstring for the measurements)."
+        )
+    if n % (sp * mp):
+        raise ValueError(
+            f"{n} devices not divisible by spatial_parallel={sp} x model_parallel={mp}."
+        )
+    grid = np.asarray(devices[:n])
+    dims = [(DATA_AXIS, n // (sp * mp))]
+    if sp > 1:
+        dims.append((SPATIAL_AXIS, sp))
+    if mp > 1:
+        dims.append((MODEL_AXIS, mp))
+    names = tuple(name for name, _ in dims)
+    return Mesh(grid.reshape(tuple(size for _, size in dims)), names)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -40,23 +85,90 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh | None, batch: dict) -> dict:
-    """Place a host batch on device, batch axis sharded over ``data``.
+def video_spec(mesh: Mesh, ndim: int) -> P:
+    """PartitionSpec for an image/video array: batch over ``data``, height
+    over ``spatial`` (if the mesh has that axis).
 
-    Scalars / per-item python values are replicated.
+    Height is axis ``ndim - 3`` for both (B, H, W, C) and (B, T, H, W, C).
+    """
+    spec = [None] * ndim
+    spec[0] = DATA_AXIS
+    if SPATIAL_AXIS in mesh.axis_names and ndim >= 4:
+        spec[ndim - 3] = SPATIAL_AXIS
+    return P(*spec)
+
+
+def shard_batch(mesh: Mesh | None, batch: dict) -> dict:
+    """Place a host batch on device: batch axis over ``data``; the height axis
+    of rank>=4 image/video arrays additionally over ``spatial`` when the mesh
+    has that axis (and the size divides).  Scalars / indivisible arrays are
+    replicated on the offending axis.
     """
     if mesh is None:
         return jax.tree.map(jax.numpy.asarray, batch)
-    sharding = batch_sharding(mesh)
     repl = replicated(mesh)
+    dp = mesh.shape[DATA_AXIS]
+    sp = mesh.shape.get(SPATIAL_AXIS, 1)
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % mesh.shape[DATA_AXIS] == 0:
-            return jax.device_put(x, sharding)
-        return jax.device_put(x, repl)
+        if x.ndim < 1:
+            return jax.device_put(x, repl)
+        # axes decide independently: batch-1 prediction replicates over
+        # ``data`` but still shards the height axis over ``spatial``
+        spec = [None] * x.ndim
+        if x.shape[0] % dp == 0:
+            spec[0] = DATA_AXIS
+        if x.ndim >= 4 and sp > 1 and x.shape[x.ndim - 3] % sp == 0:
+            spec[x.ndim - 3] = SPATIAL_AXIS
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(put, batch)
+
+
+def param_spec(leaf, mesh: Mesh) -> P:
+    """Tensor-parallel PartitionSpec for one parameter leaf.
+
+    Conv/dense kernels (rank >= 2) shard their LAST (out-feature) axis over
+    ``model`` when it divides; everything else — biases, PReLU scalars,
+    norm stats — is replicated.  Gradients stay correct with no manual psum:
+    GSPMD derives the reduction from the sharding annotations.
+    """
+    if MODEL_AXIS not in mesh.axis_names:
+        return P()
+    mp = mesh.shape[MODEL_AXIS]
+    if getattr(leaf, "ndim", 0) >= 2 and leaf.shape[-1] % mp == 0:
+        return P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
+    return P()
+
+
+def partition_tree(mesh: Mesh | None, tree):
+    """device_put a params-like pytree with per-leaf tensor-parallel specs.
+
+    With no ``model`` axis (or no mesh) this is plain replication, so callers
+    can use it unconditionally.  Works for optimizer states too — mu/nu mirror
+    the param shapes so they get the same specs; counts replicate.
+    """
+    if mesh is None:
+        return tree
+    return jax.tree.map(
+        lambda l: jax.device_put(l, NamedSharding(mesh, param_spec(l, mesh))), tree
+    )
+
+
+def gather_for_compute(mesh: Mesh | None, tree):
+    """ZeRO-3 gather point: inside a jitted step, constrain a ``model``-axis
+    sharded param tree to replicated so downstream convs compute on full
+    kernels.  XLA turns the constraint into one all-gather per step (and the
+    grad cotangent reshards back to the param specs, i.e. a reduce-scatter).
+    No-op without a mesh or a ``model`` axis — safe to call unconditionally.
+    """
+    if mesh is None or MODEL_AXIS not in mesh.axis_names:
+        return tree
+    repl = NamedSharding(mesh, P())
+    return jax.lax.with_sharding_constraint(
+        tree, jax.tree.map(lambda _: repl, tree)
+    )
 
 
 def replicate_tree(mesh: Mesh | None, tree):

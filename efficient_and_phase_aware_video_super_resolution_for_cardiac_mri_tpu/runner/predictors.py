@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PREDICTORS
+from ..parallel import gather_for_compute, partition_tree, shard_batch
 from ..utils.casting import cast_floating
 from ..utils.stats import get_stats
 from . import checkpoint as ckpt_io
@@ -142,9 +143,13 @@ class BasePredictor:
 
         kwargs = {"train": False} if self._accepts_train else {}
         cdtype = self.compute_dtype
+        mesh = self.mesh
 
         @jax.jit
         def step(params, state, batch, masks):
+            # ZeRO-3 gather on model-axis meshes (no-op otherwise)
+            params = gather_for_compute(mesh, params)
+            state = gather_for_compute(mesh, state)
             fwd_batch = batch
             if cdtype is not None:
                 params = cast_floating(params, cdtype)
@@ -200,6 +205,13 @@ class BasePredictor:
         import time
 
         self._build_step()
+        if self.mesh is not None and self.params is not None:
+            # place weights on the mesh (model-axis sharded at rest if any);
+            # spatial meshes shard each patient's height axis in shard_batch,
+            # scaling SINGLE-patient latency across chips (batch-1 already
+            # saturates one chip — PERF_NOTES.md batch sweep)
+            self.params = partition_tree(self.mesh, self.params)
+            self.model_state = partition_tree(self.mesh, self.model_state)
         log, count = self._init_log(), 0
         results = None
         if self.exported:
@@ -215,7 +227,7 @@ class BasePredictor:
             index = int(batch["index"][0])
             patient, sid, filename = self._item_meta(index)
             batch, true_T = self._bucket_batch(batch)
-            device_batch = jax.tree.map(jnp.asarray, batch)
+            device_batch = shard_batch(self.mesh, batch)
             target = self._targets(batch)
             masks = self._metric_masks(patient, target.shape[-3:-1])
             total, losses, metrics, out_d = self._step(

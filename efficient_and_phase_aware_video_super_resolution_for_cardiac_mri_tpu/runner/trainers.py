@@ -30,7 +30,7 @@ import numpy as np
 import optax
 
 from ..config import TRAINERS
-from ..parallel import shard_batch
+from ..parallel import gather_for_compute, partition_tree, shard_batch
 from ..utils.casting import cast_floating
 from ..utils.profiling import trace
 from ..utils.seeding import SeedState, seed_everything
@@ -147,10 +147,13 @@ class BaseTrainer:
         kwargs = {"train": False} if self._accepts_train else {}
         variables = self.net.init(key, *inputs, **kwargs)
         variables = dict(variables)
-        self.params = variables.pop("params", {})
-        self.model_state = variables
+        # commit to the mesh: params tensor-parallel over the model axis when
+        # the mesh has one (kernels sharded on out-features), replicated
+        # otherwise; opt_state mirrors the param shapes so the same specs fit
+        self.params = partition_tree(self.mesh, variables.pop("params", {}))
+        self.model_state = partition_tree(self.mesh, variables)
         if self.optimizer is not None:
-            self.opt_state = self.optimizer.init(self.params)
+            self.opt_state = partition_tree(self.mesh, self.optimizer.init(self.params))
 
     def _build_steps(self):
         if self._train_step is not None:
@@ -162,7 +165,14 @@ class BaseTrainer:
 
         cdtype = self.compute_dtype
 
+        mesh = self.mesh
+
         def forward_losses(params, state, batch, training):
+            # ZeRO-3 gather point: params live model-axis sharded at rest;
+            # compute sees full kernels (see parallel/mesh.py on why convs
+            # must not mix spatial halos with feature-sharded kernels)
+            params = gather_for_compute(mesh, params)
+            state = gather_for_compute(mesh, state)
             # cast ONLY the model inputs — the batch (loss/metric targets)
             # stays f32 so losses compare f32 outputs against f32 targets
             # (mirrors the predictor's fwd_batch/batch split)
@@ -388,12 +398,18 @@ class BaseTrainer:
 
     def load(self, path):
         ckpt = ckpt_io.load_checkpoint(path)
-        self.params = jax.tree.map(jnp.asarray, ckpt["net"])
+        self.params = partition_tree(self.mesh, jax.tree.map(jnp.asarray, ckpt["net"]))
         if ckpt.get("model_state"):
-            self.model_state = jax.tree.map(jnp.asarray, ckpt["model_state"])
+            self.model_state = partition_tree(
+                self.mesh, jax.tree.map(jnp.asarray, ckpt["model_state"])
+            )
         if ckpt.get("optimizer") is not None:
-            self.opt_state = jax.tree.map(
-                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, ckpt["optimizer"]
+            self.opt_state = partition_tree(
+                self.mesh,
+                jax.tree.map(
+                    lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+                    ckpt["optimizer"],
+                ),
             )
         if self.lr_scheduler is not None and ckpt.get("lr_scheduler"):
             self.lr_scheduler.load_state_dict(ckpt["lr_scheduler"])

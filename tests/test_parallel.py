@@ -15,8 +15,12 @@ from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models
 )
 from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parallel import (
     DATA_AXIS,
+    MODEL_AXIS,
+    SPATIAL_AXIS,
     batch_sharding,
+    gather_for_compute,
     make_mesh,
+    partition_tree,
     replicate_tree,
     shard_batch,
 )
@@ -57,7 +61,8 @@ def test_shard_batch_places_on_all_devices():
     mesh = make_mesh(8)
     batch = shard_batch(mesh, _batch())
     assert len(batch["lr_imgs"].devices()) == 8
-    assert batch["lr_imgs"].sharding.spec == P(DATA_AXIS)
+    spec = batch["lr_imgs"].sharding.spec
+    assert spec[0] == DATA_AXIS and all(s is None for s in spec[1:])
 
 
 def _loss_fn(model):
@@ -113,6 +118,101 @@ def test_eval_sharded_by_sequence():
     sharded = shard_batch(mesh, batch)
     out8 = forward(replicate_tree(mesh, params), sharded["lr_imgs"], sharded["pos_code"])
     np.testing.assert_allclose(np.asarray(out8), np.asarray(out1), atol=1e-5)
+
+
+def test_mesh_multi_axis_shapes():
+    assert make_mesh(8, spatial_parallel=4).shape == {"data": 2, "spatial": 4}
+    assert make_mesh(8, model_parallel=2).shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(8, model_parallel=3)
+    # sp x tp combined is rejected: XLA miscompiles partially-replicated
+    # spatially-sharded convs (parallel/mesh.py docstring)
+    with pytest.raises(ValueError, match="cannot be combined"):
+        make_mesh(8, model_parallel=2, spatial_parallel=2)
+
+
+def test_spatial_sharded_forward_matches_replicated():
+    """Height-axis (spatial) sharding: GSPMD's automatic halo exchange keeps
+    the conv/scan/pixel-shuffle forward bit-compatible with one device."""
+    model = RefineNet(**CFG)
+    batch = _batch(2)
+    params = model.init(jax.random.PRNGKey(0), batch["lr_imgs"], batch["pos_code"])["params"]
+
+    @jax.jit
+    def forward(p, lr, pos):
+        return model.apply({"params": p}, lr, pos)[-1]
+
+    out1 = forward(params, batch["lr_imgs"], batch["pos_code"])
+    mesh = make_mesh(8, spatial_parallel=4)
+    sharded = shard_batch(mesh, batch)
+    assert sharded["lr_imgs"].sharding.spec == P(DATA_AXIS, None, SPATIAL_AXIS, None, None)
+    assert SPATIAL_AXIS not in jax.tree.leaves(  # rank 3: no H axis to shard
+        tuple(sharded["pos_code"].sharding.spec)
+    )
+    out8 = forward(replicate_tree(mesh, params), sharded["lr_imgs"], sharded["pos_code"])
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "mesh_kwargs",
+    [dict(spatial_parallel=2), dict(model_parallel=2)],
+    ids=["dp_sp", "dp_tp"],
+)
+def test_multi_axis_train_step_matches_single_device(mesh_kwargs):
+    """Full train step over each supported 2-axis mesh: batch over ``data``
+    plus either image height over ``spatial`` (GSPMD halo exchange) or conv
+    kernels STORED sharded on out-features over ``model`` and gathered at
+    compute (ZeRO-3) — numerics must match one device."""
+    model = RefineNet(**CFG)
+    batch = _batch(3)
+    params = model.init(jax.random.PRNGKey(0), batch["lr_imgs"], batch["pos_code"])["params"]
+    # SGD, not Adam: the update stays linear in the gradient, so cross-device
+    # reduction-order noise (~1e-8) is not amplified by g/(sqrt(g^2)+eps)
+    tx = optax.sgd(1e-2)
+    mesh = make_mesh(8, **mesh_kwargs)
+
+    def loss(p, b, m):
+        p = gather_for_compute(m, p)
+        outs = model.apply({"params": p}, b["lr_imgs"], b["pos_code"])
+        return sum(jnp.mean(jnp.abs(o - b["hr_imgs"])) for o in outs)
+
+    def make_step(m):
+        def step(p, s, b):
+            val, grads = jax.value_and_grad(loss)(p, b, m)
+            updates, s = tx.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, val
+
+        return step
+
+    p1, _, v1 = jax.jit(make_step(None))(
+        params, tx.init(params), jax.tree.map(jnp.asarray, batch)
+    )
+
+    p_sh = partition_tree(mesh, params)
+    if "model_parallel" in mesh_kwargs:
+        kernel_specs = [
+            l.sharding.spec for l in jax.tree.leaves(p_sh) if getattr(l, "ndim", 0) >= 2
+        ]
+        # kernels with mp-divisible out-features shard; odd widths (the PE
+        # window conv's 9-channel output) legitimately replicate
+        assert sum(len(s) > 0 and s[-1] == MODEL_AXIS for s in kernel_specs) >= 4
+    s_sh = partition_tree(mesh, tx.init(params))
+    b_sh = shard_batch(mesh, batch)
+    if "spatial_parallel" in mesh_kwargs:
+        assert b_sh["lr_imgs"].sharding.spec[2] == SPATIAL_AXIS
+    p8, _, v8 = jax.jit(make_step(mesh))(p_sh, s_sh, b_sh)
+    if "model_parallel" in mesh_kwargs:
+        # updated params keep their at-rest model-axis sharding
+        sharded_after = [
+            l.sharding.spec
+            for l in jax.tree.leaves(p8)
+            if getattr(l, "ndim", 0) >= 2 and l.shape[-1] % 2 == 0
+        ]
+        assert all(len(s) > 0 and s[-1] == MODEL_AXIS for s in sharded_after)
+
+    assert float(v8) == pytest.approx(float(v1), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
 
 
 def test_trainer_with_mesh_through_config(tmp_path):
@@ -234,3 +334,81 @@ def test_two_process_distributed_cpu_matches_single_process(tmp_path):
         assert m, f"pid {i}: no LOSS line\n{err[-1500:]}"
         got = (float(m[1]), float(m[2]))
         np.testing.assert_allclose(got, want, rtol=2e-6)
+
+
+@pytest.mark.slow
+def test_predictor_spatial_mesh_matches_meshless(tmp_path):
+    """Config-driven prediction over a dp x sp mesh == the meshless run.
+
+    Batch-1 serving saturates one chip (PERF_NOTES.md batch sweep), so
+    single-patient latency scaling comes from sharding the frame height over
+    ``spatial`` — GSPMD halos keep the metrics identical to one device."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures import make_acdc_tree
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import Cfg
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main import (
+        test_from_config,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner import (
+        checkpoint as ckpt_io,
+    )
+
+    tree = make_acdc_tree(tmp_path / "acdc", frames=8, hr_size=(32, 32))
+    net_kwargs = dict(
+        in_channels=1, out_channels=1, num_features=[4, 4], upscale_factor=4,
+        num_stages=1, update_memory=True, num_updated_frames=2,
+        refine_window_size=5, positional_encoding=True,
+    )
+    model = RefineNet(**net_kwargs)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 7, 8, 8, 1)),
+        jnp.zeros((1, 7, 1)),
+    )["params"]
+    ckpt_path = tmp_path / "model.pth"
+    ckpt_io.save_checkpoint(ckpt_path, params=params)
+
+    def run(saved_dir, parallel):
+        cfg = Cfg(
+            {
+                "main": {"saved_dir": str(saved_dir), "loaded_path": str(ckpt_path)},
+                **({"parallel": parallel} if parallel else {}),
+                "dataset": {
+                    "name": "AcdcVSRRefineNetDataset",
+                    "kwargs": {
+                        "data_dir": str(tree["videos_dir"]),
+                        "downscale_factor": 4,
+                        "pos_code_path": str(tree["pos_code_path"]),
+                        "transforms": [
+                            {"name": "Normalize",
+                             "kwargs": {"means": [54.089], "stds": [48.084]}},
+                            {"name": "ToTensor"},
+                        ],
+                        "num_frames": 5,
+                        "num_updated_frames": 2,
+                    },
+                },
+                "dataloader": {
+                    "name": "Dataloader",
+                    "kwargs": {"batch_size": 1, "shuffle": False, "num_workers": 0},
+                },
+                "net": {"name": "RefineNet", "kwargs": net_kwargs},
+                "losses": [{"name": "L1Loss", "weight": 1.0}],
+                "metrics": [{"name": "PSNR"}, {"name": "SSIM"}],
+                "predictor": {
+                    "name": "AcdcVSRRefineNetPredictor",
+                    "kwargs": {"device": "cpu", "saved_dir": str(saved_dir),
+                               "exported": False},
+                },
+            }
+        )
+        return test_from_config(cfg)
+
+    base = run(tmp_path / "meshless", None)
+    sp = run(tmp_path / "spatial", {"num_devices": 8, "spatial_parallel": 4})
+    assert sp.mesh is not None and sp.mesh.shape[SPATIAL_AXIS] == 4
+    for key in ("PSNR", "SSIM", "Loss"):
+        assert float(sp.log[key]) == pytest.approx(float(base.log[key]), rel=1e-5), key
