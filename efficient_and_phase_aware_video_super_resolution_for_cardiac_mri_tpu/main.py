@@ -141,6 +141,14 @@ def train_from_config(cfg: Cfg):
     logger.info("Create the trainer.")
     trainer_kwargs = dict(cfg.trainer.get("kwargs") or {})
     trainer_kwargs["device"] = device
+    if "checkpoint_backend" not in trainer_kwargs:
+        import jax
+
+        if jax.process_count() > 1:
+            # multihost default: async orbax — every process participates in
+            # the (coordinated) array save without stalling the train loop on
+            # disk; the pickle backend is single-process-only
+            trainer_kwargs["checkpoint_backend"] = "orbax_async"
     trainer = TRAINERS.get(cfg.trainer.name)(
         train_dataloader=train_loader,
         valid_dataloader=valid_loader,

@@ -41,35 +41,77 @@ def save_checkpoint(path, *, params, model_state=None, opt_state=None,
     if backend == "orbax":
         _save_orbax(path, payload)
         return
+    if backend == "orbax_async":
+        _save_orbax(path, payload, asynchronous=True)
+        return
     with open(path, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
 
 
-def _save_orbax(path: Path, payload: dict) -> None:
+_async_checkpointer = None
+
+
+def _get_async_checkpointer():
+    """Process-wide AsyncCheckpointer (orbax serializes arrays to host then
+    writes on a background thread — the device never waits on disk; on
+    multihost, orbax coordinates the barrier across processes)."""
+    global _async_checkpointer
+    if _async_checkpointer is None:
+        import orbax.checkpoint as ocp
+
+        _async_checkpointer = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_checkpointer
+
+
+def wait_for_async_saves() -> None:
+    """Block until every in-flight async checkpoint write has committed.
+
+    No-op when no async save was issued — callers (trainer exit, process
+    teardown, pre-overwrite) can call it unconditionally."""
+    if _async_checkpointer is not None:
+        _async_checkpointer.wait_until_finished()
+
+
+def _save_orbax(path: Path, payload: dict, asynchronous: bool = False) -> None:
     """Orbax backend: array pytrees via StandardCheckpointer (async-capable,
-    multihost-aware), non-array run state as a pickled sidecar."""
+    multihost-aware), non-array run state as a pickled sidecar.
+
+    ``asynchronous=True`` returns as soon as the arrays are staged on host;
+    the disk write happens on orbax's background thread (the train loop keeps
+    stepping).  ``wait_for_async_saves`` is the commit barrier."""
     import shutil
 
     import orbax.checkpoint as ocp
 
     path = Path(path)
     if path.exists():
+        # an in-flight async write to this same path must finish before the
+        # directory is replaced out from under it
+        wait_for_async_saves()
         shutil.rmtree(path, ignore_errors=True)
     arrays = {
         "net": payload["net"],
         "optimizer": payload["optimizer"],
         "model_state": payload["model_state"] or {},
     }
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path.resolve() / "arrays", arrays)
+    # the tiny meta sidecar is written synchronously FIRST: load_checkpoint
+    # keys on meta.pkl, and an async-save reader races only the array commit
+    # (which wait_for_async_saves fences), never the directory marker
+    path.mkdir(parents=True, exist_ok=True)
     meta = {k: payload[k] for k in ("format", "lr_scheduler", "monitor", "epoch", "seed_state")}
     with open(path / "meta.pkl", "wb") as f:
         pickle.dump(meta, f)
+    if asynchronous:
+        _get_async_checkpointer().save(path.resolve() / "arrays", args=ocp.args.StandardSave(arrays))
+        return
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path.resolve() / "arrays", arrays)
 
 
 def _load_orbax(path: Path) -> dict:
     import orbax.checkpoint as ocp
 
+    wait_for_async_saves()  # commit barrier: the arrays may still be writing
     with open(path / "meta.pkl", "rb") as f:
         payload = pickle.load(f)
     with ocp.StandardCheckpointer() as ckptr:

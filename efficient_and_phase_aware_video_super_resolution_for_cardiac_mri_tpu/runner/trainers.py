@@ -379,6 +379,9 @@ class BaseTrainer:
                     LOG.info(f"Preemption checkpoint saved to {path}; exiting.")
                 break
             self.epoch += 1
+        # commit barrier for orbax_async saves: nothing may exit the loop
+        # with a checkpoint still streaming to disk (no-op otherwise)
+        ckpt_io.wait_for_async_saves()
         if self.logger is not None:
             self.logger.close()
 

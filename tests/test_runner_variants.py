@@ -210,6 +210,44 @@ def test_orbax_checkpoint_backend(tmp_path):
     assert "params" in variables
 
 
+def test_orbax_async_checkpoint_backend(tmp_path):
+    """orbax_async stages arrays and returns; the commit barrier
+    (wait_for_async_saves, called by load/overwrite/train-exit) makes the
+    write durable.  Round-trip + same-path overwrite must both be safe."""
+    import jax
+    import numpy as np
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner import (
+        checkpoint as ckpt_io,
+    )
+
+    net = nets.EDSRNet(1, 1, num_resblocks=1, num_features=4, upscale_factor=4)
+    rng = np.random.default_rng(4)
+    items = [
+        {
+            "lr_img": rng.standard_normal((8, 8, 1)).astype(np.float32),
+            "hr_img": rng.standard_normal((32, 32, 1)).astype(np.float32),
+            "index": i,
+        }
+        for i in range(2)
+    ]
+    trainer = _make_trainer("AcdcSISRTrainer", net, items, checkpoint_backend="orbax_async")
+    trainer._run_epoch("training")
+    path = tmp_path / "model_best.pth"
+    trainer.save(path)
+    # overwrite the SAME path while the first save may still be in flight:
+    # _save_orbax fences before replacing the directory
+    trainer.save(path)
+    ckpt_io.wait_for_async_saves()
+    assert path.is_dir() and (path / "meta.pkl").exists()
+
+    trainer2 = _make_trainer("AcdcSISRTrainer", net, items, checkpoint_backend="orbax_async")
+    trainer2.load(path)
+    for a, b in zip(jax.tree.leaves(trainer.params), jax.tree.leaves(trainer2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert trainer2.epoch == trainer.epoch + 1
+
+
 def test_optimizer_grad_clip_and_nonfinite_skip():
     import jax.numpy as jnp
     import optax
