@@ -60,6 +60,12 @@ def main(argv=None):
     parser.add_argument("--factor", type=int, default=4)
     parser.add_argument("--split", default="test")
     parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument(
+        "--spatial-parallel", type=int, default=1,
+        help="shard each volume's height axis over this many devices (GSPMD "
+        "halo exchange) — scales per-patient latency; data-parallel width "
+        "becomes num_devices / spatial_parallel",
+    )
     parser.add_argument("--net-kwargs", type=json.loads, default=None)
     args = parser.parse_args(argv)
 
@@ -67,7 +73,7 @@ def main(argv=None):
 
     net_kwargs = args.net_kwargs or dict(NET_KWARGS, upscale_factor=args.factor)
     U = net_kwargs["num_updated_frames"]
-    mesh = make_mesh(args.num_devices)
+    mesh = make_mesh(args.num_devices, spatial_parallel=args.spatial_parallel)
     n_dev = mesh.shape["data"]
 
     dataset = DATASETS.get("AcdcVSRRefineNetDataset")(

@@ -279,7 +279,21 @@ def main(out: Path, data_root: str, models_root: str):
     )
     tpu_test["predictor"]["kwargs"].update(compute_dtype="bfloat16", t_bucket=8)
     _dump(tpu_test, out / "test" / "refine_net" / f"exp1_x4_tpu.yaml")
-    count += 2
+    # EDVR TPU serving showcase: the gather-free windowed DCN.  max_offset=2
+    # bounds the PCD alignment's learned displacements to ±2 px per pyramid
+    # level (cardiac cine motion between neighboring frames is small and the
+    # coarse levels see it /4); the windowed path is EXACT whenever
+    # |offset| <= 2 and measured 9.5x faster than the gather DCN at these
+    # shapes (PERF_NOTES.md "Deformable conv").  Remove the key to fall back
+    # to exact unbounded gather semantics.
+    edvr_tpu = test_config("edvr_net", 4, data_root, models_root, suffix="_tpu")
+    edvr_tpu["main"]["loaded_path"] = (
+        f"{models_root}/acdc/edvr_net/exp1_x4/train/checkpoints/model_best.pth"
+    )
+    edvr_tpu["net"]["kwargs"]["dcn_max_offset"] = 2
+    edvr_tpu["predictor"]["kwargs"]["compute_dtype"] = "bfloat16"
+    _dump(edvr_tpu, out / "test" / "edvr_net" / "exp1_x4_tpu.yaml")
+    count += 3
     print(f"Wrote {count} configs under {out}.")
 
 

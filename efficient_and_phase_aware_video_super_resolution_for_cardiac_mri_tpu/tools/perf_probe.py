@@ -287,6 +287,79 @@ def probe_out(T, HW, dtype, iters, feats=64, core=30, factor=4):
     return {"sec": sec, "tflops": flops / sec / 1e12}
 
 
+def probe_out_split(T, HW, dtype, iters, feats=64, core=30, factor=4):
+    """Decompose the x4 out-block cost: conv1@1x, +PS, conv2@2x, +PS,
+    conv3@4x (64→1 — the MXU-lane-starved one), and conv3 algebraically
+    folded to LR space (2x2 kernel over the 16·64 pre-shuffle channels →
+    16 phase-channels; identical math modulo kernel re-layout, N=16 instead
+    of N=1 at 1/16 the rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pixel_shuffle import pixel_shuffle
+
+    rng = np.random.default_rng(0)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, feats, 4 * feats)) * 0.01, dtype)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, feats, 1)) * 0.01, dtype)
+    k3lr = jnp.asarray(
+        rng.standard_normal((2, 2, feats * factor * factor, factor * factor)) * 0.01, dtype
+    )
+    x1 = jnp.asarray(rng.standard_normal((core, HW, HW, feats)), dtype)
+    x2 = jnp.asarray(rng.standard_normal((core, 2 * HW, 2 * HW, feats)), dtype)
+    x3 = jnp.asarray(rng.standard_normal((core, 4 * HW, 4 * HW, feats)), dtype)
+    xlr = jnp.asarray(
+        rng.standard_normal((core, HW, HW, feats * factor * factor)), dtype
+    )
+    reps = 6
+
+    def c2d(x, w, pad):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    def t_conv(x0, w, with_ps=False):
+        def once(c):
+            y = c2d(c, w, [(1, 1), (1, 1)])
+            if with_ps:
+                z = pixel_shuffle(y, 2)
+                return c + 1e-6 * z[:, ::2, ::2, :]
+            return c + 1e-6 * y[..., : c.shape[-1]]
+
+        return _timeit(jax.jit(lambda c: _repeat(once, c, reps)), iters, x0)
+
+    def t_conv3(x0):
+        def once(c):
+            y = c2d(c, k3, [(1, 1), (1, 1)])  # (core, 4HW, 4HW, 1)
+            return c + 1e-6 * y
+
+        return _timeit(jax.jit(lambda c: _repeat(once, c, reps)), iters, x0)
+
+    def t_conv3_lr(x0):
+        def once(c):
+            # 3x3 at 4x resolution ≡ 2x2 at LR over phase-major channels
+            y = c2d(c, k3lr, [(1, 0), (1, 0)])  # (core, HW, HW, 16)
+            return c + 1e-6 * jnp.pad(
+                y, ((0, 0), (0, 0), (0, 0), (0, c.shape[-1] - y.shape[-1]))
+            )
+
+        return _timeit(jax.jit(lambda c: _repeat(once, c, reps)), iters, x0)
+
+    r2 = factor * factor
+    rows = core * HW * HW
+    results = {
+        "conv1": (t_conv(x1, k1), rows * 9 * feats * 4 * feats * 2),
+        "conv1_ps": (t_conv(x1, k1, with_ps=True), rows * 9 * feats * 4 * feats * 2),
+        "conv2": (t_conv(x2, k1), rows * 4 * 9 * feats * 4 * feats * 2),
+        "conv2_ps": (t_conv(x2, k1, with_ps=True), rows * 4 * 9 * feats * 4 * feats * 2),
+        "conv3": (t_conv3(x3), rows * 16 * 9 * feats * 1 * 2),
+        "conv3_lr": (t_conv3_lr(xlr), rows * 4 * (feats * r2) * r2 * 2),
+    }
+    return {
+        name: {"sec": sec, "tflops": reps * flops / sec / 1e12}
+        for name, (sec, flops) in results.items()
+    }
+
+
 def probe_dcn(T, HW, dtype, iters, cin=128, cout=128, dg=8, k=3):
     """Pure-XLA modulated deformable conv (ops/deform_conv.py) at EDVR-like
     shapes: B = 5 aligned frames, HW spatial, 128ch, 8 deformable groups.
@@ -364,6 +437,7 @@ PROBES = {
     "refine_pad": probe_refine_pad,
     "dcn": probe_dcn,
     "out": probe_out,
+    "out_split": probe_out_split,
     "full": probe_full,
 }
 

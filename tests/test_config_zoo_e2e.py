@@ -172,3 +172,29 @@ def test_generated_tpu_extras_configs(tmp_path_factory, tree):
     with open("configs/test/refine_net/exp1_x4_tpu.yaml") as f:
         committed = _yaml.safe_load(f)
     assert committed["predictor"]["kwargs"]["t_bucket"] == 8
+
+
+def test_generated_edvr_tpu_serving_config(tmp_path_factory, tree):
+    """The EDVR TPU serving showcase (exp1_x4_tpu): the gather-free windowed
+    DCN (dcn_max_offset) + bf16, evaluated through the real config path on a
+    checkpoint trained with exact (unbounded) DCN semantics."""
+    import yaml as _yaml
+
+    out_dir = tmp_path_factory.mktemp("edvr_tpu")
+    train_cfg = gen_configs.train_config("edvr_net", 4, "UNUSED", "UNUSED")
+    trainer = train_from_config(_patch(Cfg(train_cfg), tree, out_dir, "edvr_net", "train"))
+    assert np.isfinite(trainer.monitor.best)
+
+    test_cfg = gen_configs.test_config("edvr_net", 4, "UNUSED", "UNUSED", suffix="_tpu")
+    test_cfg["net"]["kwargs"]["dcn_max_offset"] = 2
+    test_cfg["predictor"]["kwargs"]["compute_dtype"] = "bfloat16"
+    cfg = _patch(Cfg(test_cfg), tree, out_dir, "edvr_net", "test")
+    predictor = run_test_config(cfg)
+    assert np.isfinite(predictor.log["Loss"])
+    assert predictor.log["PSNR"] > 0
+    assert predictor.net.dcn_max_offset == 2
+
+    with open("configs/test/edvr_net/exp1_x4_tpu.yaml") as f:
+        committed = _yaml.safe_load(f)
+    assert committed["net"]["kwargs"]["dcn_max_offset"] == 2
+    assert committed["predictor"]["kwargs"]["compute_dtype"] == "bfloat16"

@@ -92,10 +92,16 @@ def test_perf_probe_smoke():
     )
 
     results = perf_probe.main(
-        ["--probes", "null,conv_chain,conv_batched,lstm,refine,refine2d,refine_pad,dcn,out",
+        ["--probes",
+         "null,conv_chain,conv_batched,lstm,refine,refine2d,refine_pad,dcn,out,out_split",
          "--t", "6", "--hw", "8", "--iters", "1"]
     )
     assert set(results) == {"null", "conv_chain", "conv_batched", "lstm",
-                            "refine", "refine2d", "refine_pad", "dcn", "out"}
+                            "refine", "refine2d", "refine_pad", "dcn", "out",
+                            "out_split"}
     for name, row in results.items():
-        assert row["sec"] > 0, name
+        if name == "out_split":  # nested per-piece decomposition rows
+            assert all(piece["sec"] > 0 for k, piece in row.items()
+                       if k != "compile_plus_run_sec")
+        else:
+            assert row["sec"] > 0, name

@@ -137,3 +137,16 @@ def test_batch_infer_on_mesh(tmp_path):
     assert summary["frames"] == 4 * 8
     assert out_csv.exists()
     assert np.isfinite(summary["mean_psnr"])
+
+    # dp x sp serving: 4-wide data axis + height sharded over 2 devices
+    # (GSPMD halo) must reproduce the pure-dp scores exactly
+    summary_sp = batch_infer.main(
+        [
+            str(ckpt), str(tree["videos_dir"]), str(tree["pos_code_path"]),
+            str(tmp_path / "results_sp.csv"),
+            "--num-devices", "8", "--spatial-parallel", "2",
+            "--net-kwargs", json.dumps(net_kwargs),
+        ]
+    )
+    assert summary_sp["devices"] == 4  # data-parallel width
+    assert summary_sp["mean_psnr"] == pytest.approx(summary["mean_psnr"], rel=1e-5)
