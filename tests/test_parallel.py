@@ -215,8 +215,15 @@ def test_multi_axis_train_step_matches_single_device(mesh_kwargs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
 
 
-def test_trainer_with_mesh_through_config(tmp_path):
-    """The parallel: config section drives a sharded trainer end-to-end."""
+@pytest.mark.parametrize(
+    "parallel_section",
+    [{"num_devices": 8}, {"num_devices": 8, "model_parallel": 2}],
+    ids=["dp", "dp_tp"],
+)
+def test_trainer_with_mesh_through_config(tmp_path, parallel_section):
+    """The parallel: config section drives a sharded trainer end-to-end —
+    pure data parallel, and ZeRO-3 (model_parallel: conv kernels + optimizer
+    state stored sharded on out-features, checkpoint round-trip included)."""
     import sys
 
     sys.path.insert(0, "tests")
@@ -231,7 +238,7 @@ def test_trainer_with_mesh_through_config(tmp_path):
     cfg = Cfg(
         {
             "main": {"random_seed": "vsr", "saved_dir": str(tmp_path / "train")},
-            "parallel": {"num_devices": 8},
+            "parallel": parallel_section,
             "dataset": {
                 "name": "AcdcVSRRefineNetDataset",
                 "kwargs": {
@@ -274,10 +281,33 @@ def test_trainer_with_mesh_through_config(tmp_path):
         }
     )
     trainer = train_from_config(cfg)
-    assert trainer.mesh is not None and trainer.mesh.shape["data"] == 8
-    # params ended replicated across all 8 devices
+    assert trainer.mesh is not None
     leaf = jax.tree.leaves(trainer.params)[0]
-    assert len(leaf.devices()) == 8
+    assert len(leaf.devices()) == 8  # every device holds (a shard of) params
+    if "model_parallel" in parallel_section:
+        assert trainer.mesh.shape == {"data": 4, "model": 2}
+        kernel_specs = [
+            l.sharding.spec
+            for l in jax.tree.leaves(trainer.params)
+            if getattr(l, "ndim", 0) >= 2 and l.shape[-1] % 2 == 0
+        ]
+        assert kernel_specs and all(s[-1] == MODEL_AXIS for s in kernel_specs)
+        # checkpoint round-trip: save gathers to host numpy, load re-partitions
+        ckpt = tmp_path / "train" / "checkpoints" / "model_1.pth"
+        before = [np.asarray(l) for l in jax.tree.leaves(trainer.params)]
+        trainer.load(ckpt)
+        for b, l in zip(before, jax.tree.leaves(trainer.params)):
+            np.testing.assert_array_equal(b, np.asarray(l))
+        assert all(
+            s[-1] == MODEL_AXIS
+            for s in (
+                l.sharding.spec
+                for l in jax.tree.leaves(trainer.params)
+                if getattr(l, "ndim", 0) >= 2 and l.shape[-1] % 2 == 0
+            )
+        )
+    else:
+        assert trainer.mesh.shape["data"] == 8
 
 
 @pytest.mark.slow
