@@ -283,9 +283,10 @@ def main(out: Path, data_root: str, models_root: str):
     # bounds the PCD alignment's learned displacements to ±2 px per pyramid
     # level (cardiac cine motion between neighboring frames is small and the
     # coarse levels see it /4); the windowed path is EXACT whenever
-    # |offset| <= 2 and measured 9.5x faster than the gather DCN at these
-    # shapes (PERF_NOTES.md "Deformable conv").  Remove the key to fall back
-    # to exact unbounded gather semantics.
+    # |offset| <= 2 and measured 8.7x faster FULL-NET (88 vs 10
+    # center-frames/sec, perf_probe --probes edvr_full; PERF_NOTES.md
+    # "Deformable conv").  Remove the key to fall back to exact unbounded
+    # gather semantics.
     edvr_tpu = test_config("edvr_net", 4, data_root, models_root, suffix="_tpu")
     edvr_tpu["main"]["loaded_path"] = (
         f"{models_root}/acdc/edvr_net/exp1_x4/train/checkpoints/model_best.pth"

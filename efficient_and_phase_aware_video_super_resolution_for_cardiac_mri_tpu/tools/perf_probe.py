@@ -403,6 +403,48 @@ def probe_dcn(T, HW, dtype, iters, cin=128, cout=128, dg=8, k=3):
     }
 
 
+def probe_edvr_full(T, HW, dtype, iters, n_pipeline=16):
+    """Full EDVR at the zoo config (nf=128, 40 recon ResBlocks, 5-frame
+    window), same-process A/B: exact gather DCN vs the windowed
+    shift-and-weight path (dcn_max_offset=2) — the exp1_x4_tpu serving
+    showcase.  Pipelined protocol (dispatch n, fetch once)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import EDVRNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 5, HW, HW, 1)), dtype)
+
+    def run(max_offset):
+        model = EDVRNet(in_channels=1, out_channels=1, nf=128, nframes=5,
+                        groups=8, front_RBs=5, back_RBs=40,
+                        dcn_max_offset=max_offset)
+        v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        v = jax.tree.map(
+            lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, v
+        )
+        f = jax.jit(lambda v, x: model.apply(v, x))
+        float(jnp.sum(f(v, x)))  # compile + warm
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            outs = [f(v, x) for _ in range(n_pipeline)]
+            float(sum(jnp.sum(o) for o in outs))
+            times.append((time.perf_counter() - t0) / n_pipeline)
+        return float(np.median(times))
+
+    sec_gather = run(None)
+    sec_windowed = run(2)
+    return {
+        "sec": sec_windowed,
+        "gather_ms_per_window": sec_gather * 1e3,
+        "windowed2_ms_per_window": sec_windowed * 1e3,
+        "speedup": sec_gather / sec_windowed,
+        "windowed_center_frames_per_sec": 1.0 / sec_windowed,
+    }
+
+
 def probe_full(T, HW, dtype, iters):
     import jax
     import jax.numpy as jnp
@@ -438,6 +480,7 @@ PROBES = {
     "dcn": probe_dcn,
     "out": probe_out,
     "out_split": probe_out_split,
+    "edvr_full": probe_edvr_full,
     "full": probe_full,
 }
 
