@@ -119,11 +119,31 @@ def shard_batch(mesh: Mesh | None, batch: dict) -> dict:
         spec = [None] * x.ndim
         if x.shape[0] % dp == 0:
             spec[0] = DATA_AXIS
-        if x.ndim >= 4 and sp > 1 and x.shape[x.ndim - 3] % sp == 0:
-            spec[x.ndim - 3] = SPATIAL_AXIS
+        if x.ndim >= 4 and sp > 1:
+            if x.shape[x.ndim - 3] % sp == 0:
+                spec[x.ndim - 3] = SPATIAL_AXIS
+            else:
+                _warn_once(
+                    ("spatial", x.shape),
+                    f"height {x.shape[x.ndim - 3]} of a {x.shape} array is not "
+                    f"divisible by spatial_parallel={sp}; replicating it over "
+                    "the spatial axis (no latency win for this item). Pad or "
+                    "bucket H to a multiple to shard.",
+                )
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(put, batch)
+
+
+_WARNED: set = set()
+
+
+def _warn_once(key, msg: str) -> None:
+    if key not in _WARNED:
+        _WARNED.add(key)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
 
 
 def param_spec(leaf, mesh: Mesh) -> P:
