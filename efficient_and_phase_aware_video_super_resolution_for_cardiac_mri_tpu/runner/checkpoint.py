@@ -161,17 +161,20 @@ def load_net_params(path, model_name: str | None = None) -> dict:
 
 
 def find_latest_checkpoint(checkpoints_dir) -> Path | None:
-    """Newest checkpoint for auto-resume (``loaded_path: 'auto'``): prefers
-    the highest-epoch ``model_{N}.pth``, falls back to ``model_best.pth``."""
+    """Newest checkpoint for auto-resume (``loaded_path: 'auto'``): the most
+    recently written of the periodic ``model_{N}.pth`` saves and the SIGTERM
+    ``model_preempted.pth`` (which can be up to saved_freq−1 epochs newer
+    than any numbered save — epochs are written in order, so mtime ranks
+    them); falls back to ``model_best.pth``."""
     d = Path(checkpoints_dir)
     if not d.is_dir():
         return None
-    numbered = []
+    candidates = []
     for p in d.glob("model_*.pth"):
         stem = p.name[len("model_"):-len(".pth")]
-        if stem.isdigit():
-            numbered.append((int(stem), p))
-    if numbered:
-        return max(numbered)[1]
+        if stem.isdigit() or stem == "preempted":
+            candidates.append((p.stat().st_mtime, p))
+    if candidates:
+        return max(candidates)[1]
     best = d / "model_best.pth"
     return best if best.exists() else None

@@ -360,7 +360,13 @@ def test_sigterm_preemption_checkpoints_and_resumes(tree, tmp_path_factory):
     assert "TRAIN_EXITED_CLEANLY" in stdout
     assert (ckpt_dir / "model_preempted.pth").exists(), stdout[-1000:]
 
-    # auto-resume picks the newest checkpoint and continues
+    # auto-resume picks the newest checkpoint — the preempted one, which may
+    # be ahead of any periodic model_N save — and continues
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.checkpoint import (
+        find_latest_checkpoint,
+    )
+
+    assert find_latest_checkpoint(ckpt_dir).name == "model_preempted.pth"
     cfg.main.loaded_path = "auto"
     cfg.trainer.kwargs.num_epochs = 3
     trainer = train_from_config(cfg)

@@ -278,7 +278,17 @@ def test_find_latest_checkpoint(tmp_path):
     (tmp_path / "model_10.pth").write_bytes(b"x")
     (tmp_path / "model_90.pth").write_bytes(b"x")
     (tmp_path / "model_100.pth").write_bytes(b"x")
+    # epochs are written in order; pin mtimes to that order explicitly
+    import os
+    for i, name in enumerate(["model_10.pth", "model_90.pth", "model_100.pth"]):
+        os.utime(tmp_path / name, (1000 + i, 1000 + i))
     assert find_latest_checkpoint(tmp_path).name == "model_100.pth"
+    # a SIGTERM preemption checkpoint written after the last periodic save is
+    # the newest state — auto-resume must prefer it (it can be up to
+    # saved_freq-1 epochs ahead of any model_N)
+    (tmp_path / "model_preempted.pth").write_bytes(b"x")
+    os.utime(tmp_path / "model_preempted.pth", (2000, 2000))
+    assert find_latest_checkpoint(tmp_path).name == "model_preempted.pth"
 
 
 def test_profiling_trace_and_throughput(tmp_path, monkeypatch):
