@@ -114,22 +114,22 @@ def shard_batch(mesh: Mesh | None, batch: dict) -> dict:
         x = np.asarray(x)
         if x.ndim < 1:
             return jax.device_put(x, repl)
-        # axes decide independently: batch-1 prediction replicates over
-        # ``data`` but still shards the height axis over ``spatial``
-        spec = [None] * x.ndim
-        if x.shape[0] % dp == 0:
-            spec[0] = DATA_AXIS
-        if x.ndim >= 4 and sp > 1:
-            if x.shape[x.ndim - 3] % sp == 0:
-                spec[x.ndim - 3] = SPATIAL_AXIS
-            else:
-                _warn_once(
-                    ("spatial", x.shape),
-                    f"height {x.shape[x.ndim - 3]} of a {x.shape} array is not "
-                    f"divisible by spatial_parallel={sp}; replicating it over "
-                    "the spatial axis (no latency win for this item). Pad or "
-                    "bucket H to a multiple to shard.",
-                )
+        # the ideal layout, then downgrade axes that don't divide — the axes
+        # decide independently: batch-1 prediction replicates over ``data``
+        # but still shards the height axis over ``spatial``
+        spec = list(video_spec(mesh, x.ndim))
+        if spec[0] == DATA_AXIS and x.shape[0] % dp != 0:
+            spec[0] = None
+        h_axis = x.ndim - 3
+        if x.ndim >= 4 and spec[h_axis] == SPATIAL_AXIS and x.shape[h_axis] % sp != 0:
+            spec[h_axis] = None
+            _warn_once(
+                ("spatial", x.shape),
+                f"height {x.shape[h_axis]} of a {x.shape} array is not "
+                f"divisible by spatial_parallel={sp}; replicating it over "
+                "the spatial axis (no latency win for this item). Pad or "
+                "bucket H to a multiple to shard.",
+            )
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(put, batch)

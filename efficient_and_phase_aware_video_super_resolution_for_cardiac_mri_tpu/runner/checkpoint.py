@@ -20,7 +20,20 @@ import numpy as np
 
 
 def _to_numpy(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    def to_host(x):
+        if not getattr(x, "is_fully_addressable", True) and not getattr(
+            x, "is_fully_replicated", False
+        ):
+            # multihost + model-sharded params: this process holds only its
+            # shards, so np.asarray would raise.  Reshard to replicated (one
+            # all-gather) via a jitted identity, then fetch.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(x.sharding.mesh, PartitionSpec())
+            x = jax.jit(lambda a: a, out_shardings=repl)(x)
+        return np.asarray(x)
+
+    return jax.tree.map(to_host, tree)
 
 
 def save_checkpoint(path, *, params, model_state=None, opt_state=None,
@@ -43,6 +56,10 @@ def save_checkpoint(path, *, params, model_state=None, opt_state=None,
         return
     if backend == "orbax_async":
         _save_orbax(path, payload, asynchronous=True)
+        return
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # pickle backend on shared storage: one writer, or the processes
+        # corrupt the file racing each other (orbax backends coordinate)
         return
     with open(path, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -84,23 +101,34 @@ def _save_orbax(path: Path, payload: dict, asynchronous: bool = False) -> None:
     import orbax.checkpoint as ocp
 
     path = Path(path)
+    is_lead = jax.process_index() == 0
     if path.exists():
         # an in-flight async write to this same path must finish before the
         # directory is replaced out from under it
         wait_for_async_saves()
-        shutil.rmtree(path, ignore_errors=True)
+        if is_lead:
+            shutil.rmtree(path, ignore_errors=True)
+    if jax.process_count() > 1:
+        # the lead's rmtree must land before any process writes arrays, and
+        # every host must enter the (coordinated) orbax save together
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("evsr_ckpt_dir_ready")
     arrays = {
         "net": payload["net"],
         "optimizer": payload["optimizer"],
         "model_state": payload["model_state"] or {},
     }
-    # the tiny meta sidecar is written synchronously FIRST: load_checkpoint
-    # keys on meta.pkl, and an async-save reader races only the array commit
-    # (which wait_for_async_saves fences), never the directory marker
-    path.mkdir(parents=True, exist_ok=True)
-    meta = {k: payload[k] for k in ("format", "lr_scheduler", "monitor", "epoch", "seed_state")}
-    with open(path / "meta.pkl", "wb") as f:
-        pickle.dump(meta, f)
+    # the tiny meta sidecar is written up front (lead process only on
+    # multihost); a checkpoint counts as COMMITTED only once the ``arrays``
+    # tree has been atomically renamed into place — find_latest_checkpoint /
+    # load_checkpoint require BOTH, so a crash mid async write leaves a
+    # half-checkpoint that resume skips rather than a corrupt 'newest'
+    if is_lead:
+        path.mkdir(parents=True, exist_ok=True)
+        meta = {k: payload[k] for k in ("format", "lr_scheduler", "monitor", "epoch", "seed_state")}
+        with open(path / "meta.pkl", "wb") as f:
+            pickle.dump(meta, f)
     if asynchronous:
         _get_async_checkpointer().save(path.resolve() / "arrays", args=ocp.args.StandardSave(arrays))
         return
@@ -133,6 +161,14 @@ def _is_torch_zipfile(path: Path) -> bool:
 def load_checkpoint(path) -> dict:
     path = Path(path)
     if path.is_dir() and (path / "meta.pkl").exists():
+        if not (path / "arrays").exists():
+            # async save died between the meta sidecar and the atomic array
+            # commit; surface it clearly instead of a deep orbax error
+            raise FileNotFoundError(
+                f"{path} is a half-written orbax checkpoint (meta.pkl present "
+                "but the arrays tree never committed); use an older checkpoint "
+                "— 'loaded_path: auto' skips these automatically."
+            )
         return _load_orbax(path)
     with open(path, "rb") as f:
         return pickle.load(f)
@@ -160,21 +196,56 @@ def load_net_params(path, model_name: str | None = None) -> dict:
     return load_net_variables(path, model_name)["params"]
 
 
+def _is_committed(p: Path) -> bool:
+    """A directory checkpoint (orbax) is committed only once BOTH the meta
+    sidecar and the atomically-renamed ``arrays`` tree exist — with
+    ``orbax_async`` the meta is written up front and the array commit
+    happens on the background thread, so a crash in between leaves a
+    half-checkpoint that resume must skip."""
+    if p.is_dir():
+        return (p / "meta.pkl").exists() and (p / "arrays").exists()
+    return p.is_file()
+
+
+def _peek_epoch(p: Path):
+    """Stored epoch of a checkpoint, reading as little as possible (meta.pkl
+    for orbax dirs; the pickle header requires a full load — resume-time
+    only).  None if unreadable."""
+    try:
+        if p.is_dir():
+            with open(p / "meta.pkl", "rb") as f:
+                return pickle.load(f).get("epoch")
+        with open(p, "rb") as f:
+            return pickle.load(f).get("epoch")
+    except Exception:
+        return None
+
+
 def find_latest_checkpoint(checkpoints_dir) -> Path | None:
-    """Newest checkpoint for auto-resume (``loaded_path: 'auto'``): the most
-    recently written of the periodic ``model_{N}.pth`` saves and the SIGTERM
-    ``model_preempted.pth`` (which can be up to saved_freq−1 epochs newer
-    than any numbered save — epochs are written in order, so mtime ranks
-    them); falls back to ``model_best.pth``."""
+    """Newest checkpoint for auto-resume (``loaded_path: 'auto'``): the
+    highest-epoch ``model_{N}.pth``, unless the SIGTERM
+    ``model_preempted.pth`` records an equal-or-later epoch (it is written
+    after any periodic save and can be up to saved_freq−1 epochs ahead;
+    epoch numbers — not mtimes — order checkpoints, so copied/restored
+    trees and coarse filesystem timestamps cannot demote the true newest).
+    Half-written orbax directories (meta without committed arrays) are
+    skipped.  Falls back to ``model_best.pth``."""
     d = Path(checkpoints_dir)
     if not d.is_dir():
         return None
-    candidates = []
+    numbered = []
     for p in d.glob("model_*.pth"):
         stem = p.name[len("model_"):-len(".pth")]
-        if stem.isdigit() or stem == "preempted":
-            candidates.append((p.stat().st_mtime, p))
-    if candidates:
-        return max(candidates)[1]
+        if stem.isdigit() and _is_committed(p):
+            numbered.append((int(stem), p))
+    newest = max(numbered)[1] if numbered else None
+    newest_epoch = max(numbered)[0] if numbered else None
+    preempted = d / "model_preempted.pth"
+    if _is_committed(preempted):
+        pre_epoch = _peek_epoch(preempted)
+        if newest is None or (pre_epoch is not None and pre_epoch >= newest_epoch):
+            return preempted
+    if newest is not None:
+        return newest
     best = d / "model_best.pth"
-    return best if best.exists() else None
+    return best if _is_committed(best) else None

@@ -47,6 +47,7 @@ def main():
     parser.add_argument("--single", action="store_true")
     parser.add_argument("--pid", type=int, default=0)
     parser.add_argument("--port", type=int, default=0)
+    parser.add_argument("--ckpt-dir", default=None)
     args = parser.parse_args()
 
     import jax
@@ -128,6 +129,38 @@ def main():
     params, opt_state, loss = train_step(params, opt_state, lr_g, pos_g, hr_g)
     _, _, loss2 = train_step(params, opt_state, lr_g, pos_g, hr_g)
     print(f"LOSS {float(loss):.8f} {float(loss2):.8f}", flush=True)
+
+    if not args.single and args.ckpt_dir:
+        # Multihost checkpoint contract: ZeRO-3-sharded params (model axis
+        # spans the two processes, so leaves are NOT fully addressable) saved
+        # with the async orbax backend to shared storage — lead-only sidecar
+        # + rmtree, pre-save barrier, replicate-gather in _to_numpy — then
+        # reloaded by BOTH processes and compared bit-exactly.
+        from jax.experimental import multihost_utils
+
+        from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parallel.mesh import (
+            partition_tree,
+        )
+        from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner import (
+            checkpoint as ckpt_io,
+        )
+
+        tp_mesh = make_mesh(8, model_parallel=2)
+        p_sh = partition_tree(tp_mesh, variables["params"])
+        assert any(
+            not leaf.is_fully_addressable for leaf in jax.tree.leaves(p_sh)
+        ), "expected model-sharded leaves spanning both processes"
+        path = Path(args.ckpt_dir) / "model_1.pth"
+        ckpt_io.save_checkpoint(path, params=p_sh, epoch=1, backend="orbax_async")
+        ckpt_io.wait_for_async_saves()
+        multihost_utils.sync_global_devices("evsr_test_ckpt_committed")
+        loaded = ckpt_io.load_checkpoint(path)
+        for want, got in zip(
+            jax.tree.leaves(variables["params"]), jax.tree.leaves(loaded["net"])
+        ):
+            np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+        assert loaded["epoch"] == 1
+        print("CKPT_OK", flush=True)
 
 
 if __name__ == "__main__":

@@ -342,9 +342,12 @@ def test_two_process_distributed_cpu_matches_single_process(tmp_path):
     s.bind(("localhost", 0))
     port = s.getsockname()[1]
     s.close()
+    ckpt_dir = tmp_path / "shared_ckpts"
+    ckpt_dir.mkdir()
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, "--pid", str(i), "--port", str(port)],
+            [sys.executable, worker, "--pid", str(i), "--port", str(port),
+             "--ckpt-dir", str(ckpt_dir)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for i in range(2)
@@ -364,6 +367,10 @@ def test_two_process_distributed_cpu_matches_single_process(tmp_path):
         assert m, f"pid {i}: no LOSS line\n{err[-1500:]}"
         got = (float(m[1]), float(m[2]))
         np.testing.assert_allclose(got, want, rtol=2e-6)
+        # multihost checkpoint contract: ZeRO-3-sharded save over shared
+        # storage (lead-only sidecar, coordinated orbax_async) reloaded and
+        # verified by both processes
+        assert "CKPT_OK" in out, f"pid {i}: no CKPT_OK\n{err[-1500:]}"
 
 
 @pytest.mark.slow

@@ -268,27 +268,61 @@ def test_optimizer_grad_clip_and_nonfinite_skip():
 
 
 def test_find_latest_checkpoint(tmp_path):
+    import pickle
+
     from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.checkpoint import (
         find_latest_checkpoint,
     )
 
+    def write(name, epoch):
+        with open(tmp_path / name, "wb") as f:
+            pickle.dump({"epoch": epoch}, f)
+
     assert find_latest_checkpoint(tmp_path) is None
-    (tmp_path / "model_best.pth").write_bytes(b"x")
+    write("model_best.pth", 7)
     assert find_latest_checkpoint(tmp_path).name == "model_best.pth"
-    (tmp_path / "model_10.pth").write_bytes(b"x")
-    (tmp_path / "model_90.pth").write_bytes(b"x")
-    (tmp_path / "model_100.pth").write_bytes(b"x")
-    # epochs are written in order; pin mtimes to that order explicitly
-    import os
-    for i, name in enumerate(["model_10.pth", "model_90.pth", "model_100.pth"]):
-        os.utime(tmp_path / name, (1000 + i, 1000 + i))
+    # numeric-epoch ordering, NOT mtime or lexicographic: model_100 wins even
+    # written first and despite "model_9" > "model_100" as strings
+    write("model_100.pth", 100)
+    write("model_9.pth", 9)
     assert find_latest_checkpoint(tmp_path).name == "model_100.pth"
-    # a SIGTERM preemption checkpoint written after the last periodic save is
-    # the newest state — auto-resume must prefer it (it can be up to
-    # saved_freq-1 epochs ahead of any model_N)
-    (tmp_path / "model_preempted.pth").write_bytes(b"x")
-    os.utime(tmp_path / "model_preempted.pth", (2000, 2000))
+    # a preemption checkpoint older than the newest periodic save (stale
+    # leftover from an earlier run) must NOT win ...
+    write("model_preempted.pth", 42)
+    assert find_latest_checkpoint(tmp_path).name == "model_100.pth"
+    # ... but one at an equal-or-later epoch must (written after model_N)
+    write("model_preempted.pth", 100)
     assert find_latest_checkpoint(tmp_path).name == "model_preempted.pth"
+    write("model_preempted.pth", 103)
+    assert find_latest_checkpoint(tmp_path).name == "model_preempted.pth"
+
+
+def test_find_latest_skips_half_written_orbax_dir(tmp_path):
+    """A crash between the async meta sidecar and the orbax array commit
+    leaves meta.pkl without an arrays tree; auto-resume must skip it and
+    load_checkpoint must fail with a clear message."""
+    import pickle
+
+    import pytest as _pytest
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.checkpoint import (
+        find_latest_checkpoint,
+        load_checkpoint,
+    )
+
+    with open(tmp_path / "model_2.pth", "wb") as f:
+        pickle.dump({"epoch": 2}, f)
+    half = tmp_path / "model_4.pth"
+    half.mkdir()
+    with open(half / "meta.pkl", "wb") as f:
+        pickle.dump({"epoch": 4}, f)
+    # the half-written dir is newer-numbered but uncommitted
+    assert find_latest_checkpoint(tmp_path).name == "model_2.pth"
+    with _pytest.raises(FileNotFoundError, match="half-written"):
+        load_checkpoint(half)
+    # once the arrays tree is committed (atomic rename) it becomes eligible
+    (half / "arrays").mkdir()
+    assert find_latest_checkpoint(tmp_path).name == "model_4.pth"
 
 
 def test_profiling_trace_and_throughput(tmp_path, monkeypatch):
