@@ -95,10 +95,16 @@ def _frames(vol: np.ndarray) -> list[np.ndarray]:
 
 def _window(start: int, end: int, vol: np.ndarray) -> np.ndarray:
     """Slice frames [start, end) with circular wrap (reference
-    ``acdc_misr_dataset.py:55-68``)."""
+    ``acdc_misr_dataset.py:59-68``).
+
+    Branch order matters for parity: when ``start < 0`` the reference takes
+    ``vol[:end]`` with NO modulo — numpy clamps ``end > T`` to T — so a
+    window longer than the sequence yields start-wrap + the whole sequence,
+    not a doubly-wrapped (shorter) window.  Only the ``end > T``-with-
+    nonnegative-start branch reduces ``end`` mod T."""
     T = vol.shape[-1]
     if start < 0:
-        return np.concatenate((vol[..., start:], vol[..., : end % T if end > T else end]), axis=-1)
+        return np.concatenate((vol[..., start:], vol[..., :end]), axis=-1)
     if end > T:
         return np.concatenate((vol[..., start:], vol[..., : end % T]), axis=-1)
     return vol[..., start:end]
@@ -139,6 +145,15 @@ class _SRDatasetBase(BaseDataset):
         )
         hr_paths = sorted((self.data_dir / self.type / "HR").glob(self.glob_pattern))
         return list(zip(lr_paths, hr_paths))
+
+    def _bounds(self, t):
+        """[start, end) window around frame ``t`` for the windowed datasets
+        (MISR/VSR — requires ``num_frames``/``temporal_order`` attributes);
+        reference ``acdc_misr_dataset.py:52-58``."""
+        n = self.num_frames
+        if self.temporal_order == "last":
+            return t - n + 1, t + 1
+        return t - (n - 1) // 2, t + ((n - 1) - (n - 1) // 2) + 1
 
     def _apply(self, imgs: list[np.ndarray], rng: np.random.Generator | None) -> list[np.ndarray]:
         """Augment (train only) then transform a tuple of images."""
@@ -191,12 +206,6 @@ class MISRDataset(_SRDatasetBase):
     def __len__(self):
         return len(self.data)
 
-    def _bounds(self, t):
-        n = self.num_frames
-        if self.temporal_order == "last":
-            return t - n + 1, t + 1
-        return t - (n - 1) // 2, t + ((n - 1) - (n - 1) // 2) + 1
-
     def __getitem__(self, index, rng=None):
         lr_path, hr_path, t = self.data[index]
         start, end = self._bounds(t)
@@ -234,11 +243,7 @@ class VSRDataset(_SRDatasetBase):
     def __getitem__(self, index, rng=None):
         if self.type == "train":
             lr_path, hr_path, t = self.data[index]
-            n = self.num_frames
-            if self.temporal_order == "last":
-                start, end = t - n + 1, t + 1
-            else:
-                start, end = t - (n - 1) // 2, t + ((n - 1) - (n - 1) // 2) + 1
+            start, end = self._bounds(t)
             lr = _window(start, end, _VOLUMES.get(lr_path))
             hr = _window(start, end, _VOLUMES.get(hr_path))
         else:

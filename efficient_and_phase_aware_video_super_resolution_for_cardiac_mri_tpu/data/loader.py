@@ -55,6 +55,16 @@ class Dataloader:
         self.collate_fn = collate_fn or default_collate
         self.prefetch_batches = max(1, prefetch_batches)
         self.epoch_seed = 0
+        # probe the rng kwarg ONCE: a per-item except-TypeError fallback
+        # would both swallow genuine TypeErrors from transforms and silently
+        # re-run the item without its deterministic rng
+        import inspect
+
+        try:
+            sig = inspect.signature(type(dataset).__getitem__)
+            self._getitem_takes_rng = "rng" in sig.parameters
+        except (TypeError, ValueError):
+            self._getitem_takes_rng = False
 
     def set_epoch(self, seed: int) -> None:
         """Fix the epoch's shuffle order + augmentation randomness."""
@@ -73,11 +83,10 @@ class Dataloader:
         return order
 
     def _fetch(self, index: int) -> dict:
-        rng = item_rng(self.epoch_seed, int(index))
-        try:
+        if self._getitem_takes_rng:
+            rng = item_rng(self.epoch_seed, int(index))
             return self.dataset.__getitem__(int(index), rng=rng)
-        except TypeError:
-            return self.dataset[int(index)]
+        return self.dataset[int(index)]
 
     def _batches(self, order: np.ndarray):
         n = len(order)

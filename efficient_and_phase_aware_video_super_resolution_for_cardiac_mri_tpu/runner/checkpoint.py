@@ -61,8 +61,15 @@ def save_checkpoint(path, *, params, model_state=None, opt_state=None,
         # pickle backend on shared storage: one writer, or the processes
         # corrupt the file racing each other (orbax backends coordinate)
         return
-    with open(path, "wb") as f:
+    # write-then-rename so a crash mid-dump never leaves a truncated file
+    # that auto-resume would pick as the newest checkpoint (the atomic-rename
+    # commit the orbax path gets from its arrays tree)
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    import os
+
+    os.replace(tmp, path)
 
 
 _async_checkpointer = None
@@ -152,6 +159,36 @@ def _load_orbax(path: Path) -> dict:
     return payload
 
 
+def coerce_like(target, restored):
+    """Rebuild ``restored`` with ``target``'s container types.
+
+    Orbax's ``StandardCheckpointer.restore`` without a target degrades optax
+    namedtuple states to plain dicts and tuples to lists, so a resumed
+    trainer would crash on ``opt_state.hyperparams`` at its first step.
+    Values come from ``restored``; structure (namedtuple/tuple/dict classes)
+    from ``target``.  A no-op when the types already match (pickle backend).
+    """
+    if restored is None and target is not None:
+        # orbax stores leafless containers (EmptyState, empty dicts/tuples)
+        # as None; the freshly-built target IS that empty structure
+        return target
+    if isinstance(target, dict):
+        return {k: coerce_like(v, restored[k]) for k, v in target.items()}
+    if hasattr(target, "_fields"):  # namedtuple (optax states)
+        if isinstance(restored, dict):
+            vals = [restored[f] for f in target._fields]
+        else:
+            vals = list(restored)
+        return type(target)(
+            *(coerce_like(getattr(target, f), v) for f, v in zip(target._fields, vals))
+        )
+    if isinstance(target, (list, tuple)):
+        if isinstance(restored, dict):  # tuples sometimes restore as {'0': ...}
+            restored = [restored[str(i)] for i in range(len(target))]
+        return type(target)(coerce_like(t, r) for t, r in zip(target, restored))
+    return restored
+
+
 def _is_torch_zipfile(path: Path) -> bool:
     with open(path, "rb") as f:
         magic = f.read(4)
@@ -238,8 +275,7 @@ def find_latest_checkpoint(checkpoints_dir) -> Path | None:
         stem = p.name[len("model_"):-len(".pth")]
         if stem.isdigit() and _is_committed(p):
             numbered.append((int(stem), p))
-    newest = max(numbered)[1] if numbered else None
-    newest_epoch = max(numbered)[0] if numbered else None
+    newest_epoch, newest = max(numbered) if numbered else (None, None)
     preempted = d / "model_preempted.pth"
     if _is_committed(preempted):
         pre_epoch = _peek_epoch(preempted)

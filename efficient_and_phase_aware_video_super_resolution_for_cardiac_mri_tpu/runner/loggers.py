@@ -66,30 +66,19 @@ class BaseLogger:
         return np.clip(grid, 0, 1).transpose(2, 0, 1)
 
 
-class SISRLogger(BaseLogger):
-    """HR vs SR of the last batch (reference ``acdc_sisr_logger.py``)."""
+class FrameLogger(BaseLogger):
+    """HR vs SR of the last displayed batch — one class for the reference's
+    three byte-identical single-frame loggers (``acdc_sisr_logger.py``,
+    ``acdc_sisr_srfb_logger.py:23-26``, ``acdc_misr_logger.py``): by the time
+    the panel is built, the trainer's display hook has already selected the
+    frame/step to show, so SISR/SRFB/MISR differ only in name."""
 
     def _add_images(self, epoch, train_batch, train_outputs, valid_batch, valid_outputs):
         self.writer.add_image("train", self._panel(train_batch["hr_img"], train_outputs))
         self.writer.add_image("valid", self._panel(valid_batch["hr_img"], valid_outputs))
 
 
-class SISRSRFBLogger(BaseLogger):
-    """SRFB multi-step output: panels use the last step (reference
-    ``acdc_sisr_srfb_logger.py:23-26``; here the trainer's display hook has
-    already selected it)."""
-
-    def _add_images(self, epoch, train_batch, train_outputs, valid_batch, valid_outputs):
-        self.writer.add_image("train", self._panel(train_batch["hr_img"], train_outputs))
-        self.writer.add_image("valid", self._panel(valid_batch["hr_img"], valid_outputs))
-
-
-class MISRLogger(BaseLogger):
-    """Center-frame target vs output (reference ``acdc_misr_logger.py``)."""
-
-    def _add_images(self, epoch, train_batch, train_outputs, valid_batch, valid_outputs):
-        self.writer.add_image("train", self._panel(train_batch["hr_img"], train_outputs))
-        self.writer.add_image("valid", self._panel(valid_batch["hr_img"], valid_outputs))
+SISRLogger = SISRSRFBLogger = MISRLogger = FrameLogger
 
 
 class VSRLogger(BaseLogger):

@@ -160,31 +160,56 @@ class CosineAnnealingLR(LRScheduler):
 
 @LR_SCHEDULERS.register()
 class ReduceLROnPlateau(LRScheduler):
-    def __init__(self, base_lr, mode="min", factor=0.1, patience=10, min_lr=0.0, threshold=1e-4):
+    """torch ``ReduceLROnPlateau`` semantics: default ``threshold_mode='rel'``
+    (improvement must beat ``best·(1∓threshold)``, not ``best∓threshold``)
+    plus the ``cooldown`` epochs after each LR drop during which bad epochs
+    are not counted."""
+
+    def __init__(self, base_lr, mode="min", factor=0.1, patience=10, min_lr=0.0,
+                 threshold=1e-4, threshold_mode="rel", cooldown=0, eps=1e-8):
         super().__init__(base_lr)
+        if threshold_mode not in ("rel", "abs"):
+            raise ValueError(f"threshold_mode should be 'rel' or 'abs'. Got {threshold_mode}.")
         self.mode, self.factor, self.patience = mode, factor, patience
         self.min_lr, self.threshold = min_lr, threshold
+        self.threshold_mode, self.cooldown = threshold_mode, cooldown
+        self.eps = eps
         self.current_lr = base_lr
         self.best = math.inf if mode == "min" else -math.inf
         self.num_bad = 0
+        self.cooldown_counter = 0
+
+    def _is_better(self, value):
+        # torch lr_scheduler.ReduceLROnPlateau.is_better
+        if self.mode == "min":
+            if self.threshold_mode == "rel":
+                return value < self.best * (1.0 - self.threshold)
+            return value < self.best - self.threshold
+        if self.threshold_mode == "rel":
+            return value > self.best * (1.0 + self.threshold)
+        return value > self.best + self.threshold
 
     def step(self, valid_loss=None):
         self.last_epoch += 1
         if valid_loss is None:
             return self.current_lr
-        improved = (
-            valid_loss < self.best - self.threshold
-            if self.mode == "min"
-            else valid_loss > self.best + self.threshold
-        )
-        if improved:
+        # exact statement order of torch's ReduceLROnPlateau.step: the bad
+        # count increments regardless, cooldown then zeroes it (and ticks
+        # down even on improving epochs)
+        if self._is_better(valid_loss):
             self.best = valid_loss
             self.num_bad = 0
         else:
             self.num_bad += 1
-            if self.num_bad > self.patience:
-                self.current_lr = max(self.min_lr, self.current_lr * self.factor)
-                self.num_bad = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            new_lr = max(self.min_lr, self.current_lr * self.factor)
+            if self.current_lr - new_lr > self.eps:  # torch _reduce_lr eps
+                self.current_lr = new_lr
+            self.num_bad = 0
+            self.cooldown_counter = self.cooldown
         return self.current_lr
 
     def get_lr(self):

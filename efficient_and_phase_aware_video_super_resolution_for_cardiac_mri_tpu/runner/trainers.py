@@ -407,11 +407,16 @@ class BaseTrainer:
                 self.mesh, jax.tree.map(jnp.asarray, ckpt["model_state"])
             )
         if ckpt.get("optimizer") is not None:
+            restored = ckpt["optimizer"]
+            if self.optimizer is not None:
+                # orbax restores degrade namedtuple optax states to dicts;
+                # rebuild onto the real state structure (no-op for pickle)
+                restored = ckpt_io.coerce_like(self.optimizer.init(self.params), restored)
             self.opt_state = partition_tree(
                 self.mesh,
                 jax.tree.map(
                     lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
-                    ckpt["optimizer"],
+                    restored,
                 ),
             )
         if self.lr_scheduler is not None and ckpt.get("lr_scheduler"):

@@ -302,3 +302,37 @@ def test_volume_cache_thread_safety(tree):
 
     with ThreadPoolExecutor(max_workers=8) as pool:
         assert all(pool.map(worker, range(8)))
+
+
+def test_window_matches_reference_slicing_semantics():
+    """_window replicates the reference's exact branch semantics
+    (acdc_misr_dataset.py:59-68), including the degenerate T < num_frames
+    case: with start<0 the reference takes vol[:end] with NO modulo (numpy
+    clamps end>T to T), so the window is start-wrap + whole sequence — not a
+    doubly-wrapped shorter one."""
+    import numpy as np
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.data.datasets import (
+        _window,
+    )
+
+    def reference(start, end, vol):  # verbatim reference arithmetic
+        T = vol.shape[-1]
+        if start < 0:
+            return np.concatenate((vol[..., start:], vol[..., :end]), axis=-1)
+        elif end > T:
+            end %= T
+            return np.concatenate((vol[..., start:], vol[..., :end]), axis=-1)
+        return vol[..., start:end]
+
+    vol = np.arange(2 * 3 * 7).reshape(2, 3, 7)
+    for T in (3, 5, 7):
+        v = vol[..., :T]
+        for n in (3, 5):
+            for t in range(T):
+                for start, end in [(t - n + 1, t + 1),
+                                   (t - (n - 1) // 2, t + ((n - 1) - (n - 1) // 2) + 1)]:
+                    np.testing.assert_array_equal(
+                        _window(start, end, v), reference(start, end, v),
+                        err_msg=f"T={T} n={n} t={t} [{start},{end})",
+                    )

@@ -204,6 +204,12 @@ def test_orbax_checkpoint_backend(tmp_path):
     for a, b in zip(jax.tree.leaves(trainer.params), jax.tree.leaves(trainer2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert trainer2.epoch == trainer.epoch + 1  # resume semantics
+    # resumed training must actually STEP: orbax degrades the optax
+    # namedtuple state to dicts, which load() coerces back (set_lr and
+    # tx.update need .hyperparams/.inner_state attributes)
+    assert hasattr(trainer2.opt_state, "hyperparams")
+    log, _, _ = trainer2._run_epoch("training")
+    assert np.isfinite(log["Loss"])
 
     # predictors load net-only from the same directory checkpoint
     variables = ckpt_io.load_net_variables(path)
@@ -246,6 +252,8 @@ def test_orbax_async_checkpoint_backend(tmp_path):
     for a, b in zip(jax.tree.leaves(trainer.params), jax.tree.leaves(trainer2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert trainer2.epoch == trainer.epoch + 1
+    log, _, _ = trainer2._run_epoch("training")  # resumed state must step
+    assert np.isfinite(log["Loss"])
 
 
 def test_optimizer_grad_clip_and_nonfinite_skip():
@@ -451,3 +459,32 @@ def test_logger_skips_image_panels_for_empty_epoch(tmp_path):
     logger = VSRLogger(tmp_path)
     logger.write(1, {"Loss": 1.0}, None, None, {"Loss": 2.0}, None, None)
     logger.close()
+
+
+def test_reduce_lr_on_plateau_matches_torch():
+    """The plateau scheduler follows torch semantics exactly — rel/abs
+    threshold modes and cooldown — checked against torch's own
+    ReduceLROnPlateau on the same loss trace."""
+    import torch
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.optim import (
+        ReduceLROnPlateau,
+    )
+
+    losses = [10.0, 9.999, 9.999, 9.999, 9.0, 9.0, 9.0, 9.0, 8.0, 8.0, 8.0, 8.5, 9.5,
+              7.0, 7.0, 7.0, 7.0, 7.0]
+    for kwargs in (
+        dict(factor=0.5, patience=2),                         # torch-default rel
+        dict(factor=0.5, patience=2, threshold_mode="abs"),
+        dict(factor=0.5, patience=1, cooldown=3),
+        dict(factor=0.1, patience=0, threshold=0.05),
+    ):
+        ours = ReduceLROnPlateau(base_lr=1e-3, **kwargs)
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1e-3)
+        theirs = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, mode="min", **kwargs)
+        for i, loss in enumerate(losses):
+            got = ours.step(loss)
+            theirs.step(loss)
+            want = opt.param_groups[0]["lr"]
+            assert got == pytest.approx(want, rel=1e-12), (kwargs, i, got, want)
