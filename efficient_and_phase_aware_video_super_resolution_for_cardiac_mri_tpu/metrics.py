@@ -176,7 +176,10 @@ class CardiacPSNR(_CardiacMixin, PSNR):
 
     def __call__(self, output, target, name=None, mask=None):
         if mask is None:
-            mask = jnp.asarray(self.mask_for(name, output.shape[1:3]))
+            # (H, W) are the LAST spatial dims for any rank — the reference
+            # crops output[..., h0:hn, w0:wn] (metrics.py:138), so 5D video
+            # input must not read (T, H) from axes 1:3
+            mask = jnp.asarray(self.mask_for(name, output.shape[-3:-1]))
         return PSNR.__call__(self, output, target, mask=mask)
 
 
@@ -192,5 +195,5 @@ class CardiacSSIM(_CardiacMixin, SSIM):
 
     def __call__(self, output, target, name=None, mask=None):
         if mask is None:
-            mask = jnp.asarray(self.mask_for(name, output.shape[1:3]))
+            mask = jnp.asarray(self.mask_for(name, output.shape[-3:-1]))
         return SSIM.__call__(self, output, target, mask=mask)

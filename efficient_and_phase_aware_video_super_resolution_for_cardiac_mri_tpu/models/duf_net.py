@@ -120,7 +120,13 @@ class DUFNet(nn.Module):
         # kernel[i, j, 0, o] = 1 iff o == i·sf + j, matching torch's tap order.
         import jax
 
-        eye = jnp.asarray(np.eye(sf * sf, dtype=np.float32).reshape(sf, sf, 1, sf * sf))
+        # built in the compute dtype: a f32 constant would crash the conv
+        # under compute_dtype=bfloat16 (conv requires matching dtypes), and
+        # a 0/1 identity is exact in any float dtype
+        eye = jnp.asarray(
+            np.eye(sf * sf, dtype=np.float32).reshape(sf, sf, 1, sf * sf),
+            dtype=target.dtype,
+        )
         outs = []
         for c in range(target.shape[-1]):
             xc = target[..., c : c + 1]

@@ -48,9 +48,12 @@ class ResidualBlockNoBN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out = conv(self.nf, 3, self.nf, kernel_init=_kaiming_scaled(0.1), name="conv1")(x)
+        # no in_features: the reference's initialize_weights ZEROES residual
+        # conv biases (arch_util.py:15-16), and conv() defaults bias to zeros
+        # only when fan_in isn't supplied
+        out = conv(self.nf, 3, kernel_init=_kaiming_scaled(0.1), name="conv1")(x)
         out = nn.relu(out)
-        out = conv(self.nf, 3, self.nf, kernel_init=_kaiming_scaled(0.1), name="conv2")(out)
+        out = conv(self.nf, 3, kernel_init=_kaiming_scaled(0.1), name="conv2")(out)
         return x + out
 
 

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..ops.pixel_shuffle import pixel_shuffle
 from ..ops.resize import upsample_bilinear
-from .common import ConvTransposeTorch, PReLU, conv, fold_time, unfold_time
+from .common import ConvTransposeTorch, PReLU, UpsampleBlock, conv, fold_time, unfold_time
 
 _PROJ = {2: (6, 2, 2), 3: (7, 3, 2), 4: (8, 4, 2), 8: (12, 8, 2)}
 
@@ -140,39 +140,15 @@ class DRFSISRNet(nn.Module):
         outputs, hidden = [], None
         lrf = _LRFBlock(self.in_channels, self.num_features, name="in_block")
         fb = _FBlock(self.num_features, self.num_groups, self.upscale_factor, name="f_block")
-        out_block = _DRFOutBlock(self.num_features, self.out_channels, self.upscale_factor, name="out_block")
+        # identical structure + param names to the shared UpsampleBlock
+        # (reference drf_sisr_net.py:136-147) — checkpoint layout unchanged
+        out_block = UpsampleBlock(self.num_features, self.out_channels, self.upscale_factor, name="out_block")
         for i in range(self.num_steps):
             in_features = lrf(x)
             hidden = in_features if i == 0 else hidden
             hidden = fb(in_features, hidden)
             outputs.append(out_block(in_features + hidden))
         return outputs
-
-
-class _DRFOutBlock(nn.Module):
-    """conv→PS2 stages + final conv (reference ``drf_sisr_net.py:136-147``)."""
-
-    num_features: int
-    out_channels: int
-    upscale_factor: int
-
-    @nn.compact
-    def __call__(self, x):
-        import math
-
-        F = self.num_features
-        r = self.upscale_factor
-        if (math.log2(r) % 1) == 0:
-            n = int(math.log2(r))
-            for i in range(n):
-                x = conv(4 * F, 3, F, name=f"conv{i+1}")(x)
-                x = pixel_shuffle(x, 2)
-            x = conv(self.out_channels, 3, F, name=f"conv{n+1}")(x)
-        elif r == 3:
-            x = conv(9 * F, 3, F, name="conv1")(x)
-            x = pixel_shuffle(x, 3)
-            x = conv(self.out_channels, 3, F, name="conv2")(x)
-        return x
 
 
 class DRFNet(nn.Module):
@@ -226,7 +202,7 @@ class _DRFStep(nn.Module):
     @nn.compact
     def __call__(self, carry, f):
         fb = _FBlock(self.num_features, self.num_groups, self.upscale_factor, name="f_block")
-        out_block = _DRFOutBlock(
+        out_block = UpsampleBlock(
             self.num_features, self.out_channels, self.upscale_factor, name="out_block"
         )
         hidden = jnp.where(carry["first"], f, carry["hidden"])

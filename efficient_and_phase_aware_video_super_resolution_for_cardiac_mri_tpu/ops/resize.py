@@ -4,7 +4,9 @@ JAX has no builtin matching either of the two bicubic variants the reference
 depends on (SURVEY.md §7 "hard parts"):
 
 * ``nn.Upsample(mode='bicubic', align_corners=True)`` — the Bicubic baseline
-  net (reference ``src/model/nets/bicubic.py:8-18``) and TOFlow's pre-upscale.
+  net (reference ``src/model/nets/bicubic.py:8-18``).  TOFlow's pre-upscale
+  uses the SAME kernel but ``align_corners=False``
+  (``toflow_net.py:32-33``) — models/toflow_net.py passes it accordingly.
 * ``cv2.resize(..., INTER_CUBIC)`` — the k-space degradation pipeline
   (reference ``src/acdc_preprocess.py:132``).
 

@@ -153,3 +153,43 @@ def test_gradients_flow_everywhere_edsr():
     g = jax.grad(loss)(variables)
     for leaf in jax.tree.leaves(g):
         assert np.any(np.asarray(leaf) != 0)
+
+
+def test_duf_forward_under_bf16():
+    """The constant im2col identity kernel must follow the compute dtype
+    (a f32 constant crashes the conv when inputs are cast to bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+        DUFNet,
+    )
+
+    model = DUFNet(1, 1, num_frames=7, size_filter=5, upscale_factor=4,
+                   backbone="_DenseLayer16")
+    x = jnp.zeros((1, 7, 8, 8, 1), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    v16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), v)
+    out = model.apply(v16, x.astype(jnp.bfloat16))
+    assert out.shape == (1, 32, 32, 1)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_edvr_residual_block_bias_init_is_zero():
+    """Reference arch_util.initialize_weights zeroes residual conv biases
+    (arch_util.py:15-16); fresh EDVR RBs must match for from-scratch
+    training parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models.edvr_net import (
+        ResidualBlockNoBN,
+    )
+
+    rb = ResidualBlockNoBN(nf=8)
+    v = rb.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 8)))
+    for name in ("conv1", "conv2"):
+        bias = np.asarray(v["params"][name]["bias"])
+        np.testing.assert_array_equal(bias, 0.0)
+        kernel = np.asarray(v["params"][name]["kernel"])
+        assert kernel.std() > 0  # weights stay kaiming-scaled, not zeroed

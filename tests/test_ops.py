@@ -105,3 +105,37 @@ def test_perf_probe_smoke():
                        if k != "compile_plus_run_sec")
         else:
             assert row["sec"] > 0, name
+
+
+def test_flow_warp_bf16_coordinates_are_exact():
+    """Coordinate math must run in f32 even under bf16 compute: bf16 cannot
+    represent pixel indices above 256, which made zero-flow warps of
+    x4-upscaled frames return values off by hundreds of gray levels."""
+    import jax.numpy as jnp
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.ops.warp import (
+        flow_warp,
+        stn_warp,
+    )
+
+    W = 320
+    ramp = np.broadcast_to(
+        np.arange(W, dtype=np.float32)[None, None, :, None], (1, 8, W, 1)
+    )
+    x16 = jnp.asarray(ramp, jnp.bfloat16)
+    x32 = x16.astype(jnp.float32)  # identical VALUES, f32 carrier
+    # the reference's quirky normalize/unnormalize chain is not an identity,
+    # so compare bf16-carried against f32-carried warps of the SAME values:
+    # only the coordinate arithmetic may differ, and it must not (pre-fix the
+    # bf16 coordinates were off by whole pixels past 256 — error up to 240)
+    out16 = flow_warp(x16, jnp.zeros((1, 8, W, 2), jnp.bfloat16))
+    out32 = flow_warp(x32, jnp.zeros((1, 8, W, 2), jnp.float32))
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(out32), atol=1.01
+    )
+    s16 = stn_warp(
+        x16, jnp.zeros((1, 8, W), jnp.bfloat16), jnp.zeros((1, 8, W), jnp.bfloat16)
+    )
+    s32 = stn_warp(x32, jnp.zeros((1, 8, W), jnp.float32), jnp.zeros((1, 8, W), jnp.float32))
+    np.testing.assert_allclose(np.asarray(s16, np.float32), np.asarray(s32), atol=1.01)
