@@ -257,7 +257,11 @@ class RandomElasticDeformation(BaseTransform):
         ndim = len(spatial_shape)
         fields = []
         for axis in range(ndim):
-            if ndim == 3 and axis == 0 and not self.do_z_deformation:
+            # reference ``params[0:len//3] = 0`` zeroes ITK dimension 0 =
+            # the numpy LAST spatial axis (GetImageFromArray reverses axis
+            # order), i.e. the depth/slice axis of an (H, W, D) volume —
+            # slices stay rigid along z while in-plane deformation applies
+            if ndim == 3 and axis == 2 and not self.do_z_deformation:
                 fields.append(np.zeros(spatial_shape, np.float32))
                 continue
             coarse = rng.normal(0.0, self.sigma, size=(self.num_ctrl_points,) * ndim)

@@ -63,6 +63,16 @@ def resolve_device(device_str: str | None):
     return "tpu" if ("tpu" in platforms or "axon" in platforms) else next(iter(platforms))
 
 
+def _init_distributed(cfg: Cfg) -> None:
+    """jax.distributed.initialize BEFORE any backend use (it refuses to run
+    afterwards) — call at the very top of the train/test entry points."""
+    parallel = cfg.get("parallel")
+    if parallel and parallel.get("multi_host"):
+        from .parallel import distributed_initialize
+
+        distributed_initialize(parallel.get("coordinator_address"))
+
+
 def build_mesh(cfg: Cfg):
     parallel = cfg.get("parallel")
     if not parallel:
@@ -70,6 +80,8 @@ def build_mesh(cfg: Cfg):
     from .parallel import distributed_initialize, make_mesh
 
     if parallel.get("multi_host"):
+        # idempotent here (initialized at entry before backend use); kept for
+        # direct build_mesh callers
         distributed_initialize(parallel.get("coordinator_address"))
     return make_mesh(
         parallel.get("num_devices"),
@@ -98,10 +110,13 @@ def train_from_config(cfg: Cfg):
     saved_dir.mkdir(parents=True, exist_ok=True)
     cfg.to_yaml(saved_dir / "config.yaml")
 
-    # pin the backend before anything touches jax
+    # multi-host init FIRST: jax.distributed.initialize refuses to run once
+    # the backend exists, and resolve_device/process_count both initialize it
+    _init_distributed(cfg)
+    # pin the backend before anything else touches jax
     device = resolve_device((cfg.trainer.get("kwargs") or {}).get("device"))
 
-    num_epochs = cfg.trainer.kwargs.get("num_epochs", 1)
+    num_epochs = (cfg.trainer.get("kwargs") or {}).get("num_epochs", 1)
     seed_state = seed_everything(cfg.main.get("random_seed", "vsr"), num_epochs)
 
     logger.info("Create the training and validation datasets.")
@@ -190,6 +205,7 @@ def test_from_config(cfg: Cfg):
     saved_dir.mkdir(parents=True, exist_ok=True)
     cfg.to_yaml(saved_dir / "config.yaml")
 
+    _init_distributed(cfg)  # before any backend use — see train_from_config
     device = resolve_device((cfg.predictor.get("kwargs") or {}).get("device"))
 
     logger.info("Create the testing dataset and dataloader.")

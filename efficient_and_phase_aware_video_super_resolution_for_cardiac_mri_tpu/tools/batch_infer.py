@@ -43,11 +43,15 @@ NET_KWARGS = dict(
 
 
 def group_by_shape(dataset):
-    """{(T, H, W): [indices]} so each group batches into one jitted call."""
+    """{(T, H, W): [indices]} so each group batches into one jitted call.
+
+    Stores INDICES only — materializing every decoded item up front held the
+    whole split's float32 LR+HR sequences in memory at once; items are
+    re-fetched per device chunk instead (the underlying volumes are LRU-cached
+    by the dataset, so the second read is cheap)."""
     groups = defaultdict(list)
     for idx in range(len(dataset)):
-        item = dataset[idx]
-        groups[item["lr_imgs"].shape].append((idx, item))
+        groups[dataset[idx]["lr_imgs"].shape].append(idx)
     return groups
 
 
@@ -101,18 +105,19 @@ def main(argv=None):
     rows = [["name", "frame", "PSNR", "SSIM"]]
     frames = 0
     t0 = time.perf_counter()
-    for shape, items in sorted(group_by_shape(dataset).items()):
-        for start in range(0, len(items), n_dev):
-            chunk = items[start : start + n_dev]
-            pad = n_dev - len(chunk)
-            lr = np.stack([it["lr_imgs"] for _, it in chunk] + [chunk[-1][1]["lr_imgs"]] * pad)
-            pos = np.stack([it["pos_code"] for _, it in chunk] + [chunk[-1][1]["pos_code"]] * pad)
-            hr = np.stack([it["hr_imgs"] for _, it in chunk] + [chunk[-1][1]["hr_imgs"]] * pad)
+    for shape, indices in sorted(group_by_shape(dataset).items()):
+        for start in range(0, len(indices), n_dev):
+            chunk = indices[start : start + n_dev]
+            items = [dataset[i] for i in chunk]  # one device-chunk in memory
+            pad = n_dev - len(items)
+            lr = np.stack([it["lr_imgs"] for it in items] + [items[-1]["lr_imgs"]] * pad)
+            pos = np.stack([it["pos_code"] for it in items] + [items[-1]["pos_code"]] * pad)
+            hr = np.stack([it["hr_imgs"] for it in items] + [items[-1]["hr_imgs"]] * pad)
             batch = shard_batch(mesh, {"lr": lr, "pos": pos})
             out = np.asarray(forward(variables, batch["lr"], batch["pos"]))
             out_d = np.asarray(denormalize(out, "acdc"))
             hr_d = np.asarray(denormalize(hr, "acdc"))
-            for b, (idx, _) in enumerate(chunk):
+            for b, idx in enumerate(chunk):
                 lr_path = dataset.data[idx][0]
                 name = lr_path.parts[-1].split(".")[0]
                 for t in range(hr_d.shape[1]):

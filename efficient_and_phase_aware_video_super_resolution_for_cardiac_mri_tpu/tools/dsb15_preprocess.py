@@ -34,13 +34,16 @@ def main(data_dir: Path, output_dir: Path, factors=(2, 3, 4)):
         for patient_dir in sorted(p for p in split_dir.iterdir() if p.is_dir()):
             patient_name = patient_dir.name
             logging.info(f"Process {patient_name}.")
-            seq_idx = 0
-            for series_path in sorted(patient_dir.glob("**/*.nii.gz")):
+            # reference :23-24: one-level '*/*.nii.gz' glob (not recursive),
+            # and sequences are numbered by POSITION among all globbed series
+            # (j+1, reference :72-74) — skipped malformed ones keep their
+            # slot, so trees stay filename-interchangeable with the reference
+            for j, series_path in enumerate(sorted(patient_dir.glob("*/*.nii.gz"))):
                 data = np.asarray(nifti.load(series_path).get_data())
                 # skip malformed series (reference :28-29)
                 if data.ndim != 4 or data.shape[2] != 1 or data.shape[-1] < 30:
                     continue
-                seq_idx += 1
+                seq_idx = j + 1
                 data = normalize_int16(data)
                 h0, hn, w0, wn = crop_multiple(data.shape[0], data.shape[1])
                 cropped = data[h0:hn, w0:wn]

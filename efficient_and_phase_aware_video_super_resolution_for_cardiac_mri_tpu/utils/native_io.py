@@ -81,14 +81,16 @@ def available() -> bool:
 
 
 def read_shape(path) -> tuple[int, ...] | None:
-    lib = _load()
-    if lib is None:
+    """Volume shape from the 348-byte header only.
+
+    Uses the python streaming reader: ``gzip.open`` inflates just the header
+    bytes, where the native ``evsr_nifti_dims`` gunzips the WHOLE file to
+    read 348 bytes — calling it before every decode doubled inflate cost on
+    gzipped trees."""
+    try:
+        return tuple(nifti.read_header(path)["shape"])
+    except Exception:
         return None
-    dims = (ctypes.c_int64 * 8)()
-    rc = lib.evsr_nifti_dims(str(path).encode(), dims)
-    if rc < 0:
-        return None
-    return tuple(int(dims[i + 1]) for i in range(int(dims[0])))
 
 
 def load_volume(path) -> np.ndarray:

@@ -71,7 +71,11 @@ def read_header(path: str | Path) -> dict:
     (``acdc_vsr_refinenet_dataset.py:41``) without reading voxels.
     """
     path = Path(path)
-    if path.suffix == ".gz":
+    # sniff gzip by magic bytes like _open_bytes (suffix-only detection made
+    # a gzipped file not named *.gz loadable by load() yet unreadable here)
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if path.suffix == ".gz" or magic == b"\x1f\x8b":
         with gzip.open(path, "rb") as f:
             raw = f.read(_HDR_SIZE)
     else:

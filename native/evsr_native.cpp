@@ -130,6 +130,21 @@ int decode(const uint8_t* data, int64_t size, float* out, int64_t capacity, int6
   if (count > capacity) return -4;
   dims[0] = h.ndim;
   for (int i = 0; i < 7; ++i) dims[i + 1] = h.shape[i];
+  // payload bounds: a truncated file, a bogus vox_offset, or a header whose
+  // dim[] claims more voxels than the payload holds must fail cleanly (the
+  // python reader raises on the same input) instead of reading past the
+  // buffer and handing the model garbage
+  int64_t elem;
+  switch (h.datatype) {
+    case 2: case 256: elem = 1; break;
+    case 4: case 512: elem = 2; break;
+    case 8: case 768: case 16: elem = 4; break;
+    case 64: elem = 8; break;
+    default: return -5;
+  }
+  if (count < 0 || h.vox_offset < 0 || h.vox_offset > raw_size ||
+      count > (raw_size - h.vox_offset) / elem)
+    return -6;
   const uint8_t* voxels = raw + h.vox_offset;
   bool swap = h.big_endian;
   float sl = h.scl_slope, in = h.scl_inter;

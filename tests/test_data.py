@@ -92,11 +92,18 @@ def test_elastic_deformation_field_distribution():
     mag = np.hypot(f[:, 0], f[:, 1])
     assert np.quantile(mag, 0.99) < 3.5 * sigma
 
-    # z is frozen unless do_z_deformation (reference :262-266 behavior)
-    fz, fy3, fx3 = T.RandomElasticDeformation(prob=1.0, sigma=sigma)._dense_field(
-        np.random.default_rng(1), (5, 16, 16)
+    # z is frozen unless do_z_deformation.  Volumes are (H, W, D) — depth
+    # LAST (nibabel layout; RandomCropPatch crops axes 0/1 scaled, axis 2
+    # unscaled), and the reference's params[0:len//3]=0 zeroes ITK dim 0 =
+    # the numpy LAST axis, so the D field is the zeroed one.
+    fh, fw, fd = T.RandomElasticDeformation(prob=1.0, sigma=sigma)._dense_field(
+        np.random.default_rng(1), (16, 16, 5)
     )
-    assert np.all(fz == 0) and fy3.any() and fx3.any()
+    assert np.all(fd == 0) and fh.any() and fw.any()
+    fh, fw, fd = T.RandomElasticDeformation(
+        prob=1.0, sigma=sigma, do_z_deformation=True
+    )._dense_field(np.random.default_rng(1), (16, 16, 5))
+    assert fd.any()
 
 
 def test_compose_from_config():

@@ -52,3 +52,38 @@ def test_native_batch_decode(tmp_path):
 def test_fallback_on_missing_file(tmp_path):
     with pytest.raises(Exception):
         native_io.load_volume(tmp_path / "nope.nii.gz")
+
+
+def test_native_decode_rejects_truncated_payload(tmp_path):
+    """A truncated/corrupt NIfTI must fail with a clean negative code (and
+    python fallback), never an out-of-bounds read of the file buffer."""
+    import ctypes
+    import gzip
+
+    import numpy as np
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils import (
+        native_io,
+        nifti,
+    )
+
+    lib = native_io._load()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    vol = np.arange(4 * 5 * 2 * 3, dtype=np.float32).reshape(4, 5, 2, 3)
+    p = tmp_path / "ok.nii.gz"
+    nifti.save(vol, p)
+    raw = gzip.decompress(p.read_bytes())
+    trunc = tmp_path / "trunc.nii.gz"
+    trunc.write_bytes(gzip.compress(raw[: 352 + 8]))  # header + 2 voxels
+    out = np.empty(vol.size, np.float32)
+    dims = (ctypes.c_int64 * 8)()
+    rc = lib.evsr_decode_nifti_file(
+        str(trunc).encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        vol.size,
+        dims,
+    )
+    assert rc == -6

@@ -138,3 +138,37 @@ def test_cardiac_cropping_and_phase_code(tmp_path):
     assert code.shape == (T,)
     assert np.abs(code).max() <= 1.0 + 1e-6
     assert code[0] == pytest.approx(1.0)  # cos(0) at the cycle start
+
+
+def test_dsb15_preprocess_numbering_matches_reference(tmp_path):
+    """Sequences are numbered by POSITION among all globbed series — a
+    skipped malformed series keeps its slot (reference dsb15_preprocess.py
+    j+1, :23-74), so trees stay filename-interchangeable; glob is one-level
+    '*/*.nii.gz' like the reference, not recursive."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools import (
+        dsb15_preprocess,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils import (
+        nifti,
+    )
+
+    rng = np.random.default_rng(0)
+    patient = tmp_path / "raw" / "train" / "patient001"
+    # series 'a' is malformed (T=5 < 30): skipped but keeps slot 1
+    bad = rng.integers(0, 255, (24, 24, 1, 5)).astype(np.int16)
+    nifti.save(bad, patient / "a" / "sax_bad.nii.gz")
+    good = rng.integers(0, 255, (24, 24, 1, 30)).astype(np.int16)
+    nifti.save(good, patient / "b" / "sax_good.nii.gz")
+    # nested two levels deep: the reference's one-level glob must NOT pick
+    # this up
+    nifti.save(good, patient / "b" / "nested" / "sax_extra.nii.gz")
+
+    out = tmp_path / "preprocessed"
+    dsb15_preprocess.main(tmp_path / "raw", out, factors=(4,))
+
+    hr = sorted(p.name for p in (out / "videos" / "train" / "HR" / "patient001").glob("*"))
+    assert hr == ["patient001_2d+1d_sequence02.nii.gz"]
+    saved = nifti.load(
+        out / "videos" / "train" / "HR" / "patient001" / hr[0]
+    ).get_data()
+    assert saved.shape[-1] == 30
