@@ -203,7 +203,7 @@ def main():
 
     ours = bench_jax()
     # The train-step benchmark doubles compile time; opt in with
-    # EVSR_BENCH_TRAIN=1 (last measured: 3.6 steps/sec @ batch 16, v5e —
+    # EVSR_BENCH_TRAIN=1 (last measured: 3.45-3.6 steps/sec @ batch 16, v5e —
     # PERF_NOTES.md).
     if os.environ.get("EVSR_BENCH_TRAIN") == "1":
         try:
@@ -212,10 +212,11 @@ def main():
             train = {"error": str(e)[:200]}
     else:
         train = {
-            "steps_per_sec": 3.6,
+            "steps_per_sec": 3.5,
             "batch": 16,
             "note": "cached measurement; set EVSR_BENCH_TRAIN=1 to remeasure",
-            "measured_at_commit": "round 2 (fetch-amortized protocol)",
+            "measured_at_commit": "636f152 (round 2 HEAD; 3.45 measured, "
+            "3.45-3.6 across runs, fetch-amortized protocol)",
         }
     baseline = bench_torch_reference()
     vs = ours["frames_per_sec"] / baseline["frames_per_sec"] if baseline else None

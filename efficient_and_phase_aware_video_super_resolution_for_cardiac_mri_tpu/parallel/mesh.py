@@ -54,6 +54,13 @@ def make_mesh(
     """
     devices = jax.devices()
     n = num_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"parallel.num_devices={n} but only {len(devices)} device(s) are "
+            f"visible ({devices[0].platform}). Lower num_devices, or for CPU "
+            "tests provision a virtual mesh (XLA_FLAGS="
+            "--xla_force_host_platform_device_count=N)."
+        )
     sp, mp = spatial_parallel, model_parallel
     if sp > 1 and mp > 1:
         raise ValueError(

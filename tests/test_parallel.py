@@ -449,3 +449,10 @@ def test_predictor_spatial_mesh_matches_meshless(tmp_path):
     assert sp.mesh is not None and sp.mesh.shape[SPATIAL_AXIS] == 4
     for key in ("PSNR", "SSIM", "Loss"):
         assert float(sp.log[key]) == pytest.approx(float(base.log[key]), rel=1e-5), key
+
+
+def test_make_mesh_rejects_oversubscription():
+    """Asking for more devices than exist fails with a clear message, not a
+    cryptic numpy reshape error (the single-chip-runs-a-pod-config case)."""
+    with pytest.raises(ValueError, match="only .* visible"):
+        make_mesh(len(jax.devices()) + 1)
