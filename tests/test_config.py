@@ -131,3 +131,20 @@ def test_config_zoo_resolves(root):
             assert t["name"] in C.TRANSFORMS, (path, t["name"])
         for t in cfg.dataset.kwargs.get("augments", []):
             assert t["name"] in C.TRANSFORMS, (path, t["name"])
+
+
+def test_registry_unknown_name_lists_available():
+    """A typo'd component name in YAML fails with the available names listed
+    (the verify-skill probe contract)."""
+    import pytest
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import (
+        main as _main,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import (
+        NETS,
+    )
+
+    _main._import_components()
+    with pytest.raises(KeyError, match="Unknown net.*Available.*RefineNet"):
+        NETS.get("RefineNett")
