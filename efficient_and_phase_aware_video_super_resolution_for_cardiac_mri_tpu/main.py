@@ -47,17 +47,26 @@ def _import_components():
     from .runner import loggers, monitor, predictors, trainers  # noqa: F401
 
 
-def resolve_device(device_str: str | None):
+def resolve_device(device_str: str | None, num_cpu_devices: int | None = None):
     """Map the reference's ``'cuda:0'`` strings to the JAX backend.
 
     ``device: 'cpu'`` configs actually pin jax to CPU (the environment's TPU
     plugin self-registers, so the config must override it explicitly —
-    BASELINE config #1 demands CPU inference).
+    BASELINE config #1 demands CPU inference).  ``num_cpu_devices``
+    self-provisions a virtual CPU mesh for ``parallel:`` configs run on CPU
+    (no XLA_FLAGS needed — same mechanism as ``dryrun_multichip``); it only
+    takes effect before the backend initializes.
     """
     import jax
 
     if device_str and device_str.startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")
+        if num_cpu_devices and num_cpu_devices > 1:
+            try:
+                jax.config.update("jax_num_cpu_devices", int(num_cpu_devices))
+            except RuntimeError:
+                pass  # backend already up (library/test use) — make_mesh
+                # reports a clear error if the devices don't suffice
         return "cpu"
     platforms = {d.platform for d in jax.devices()}
     return "tpu" if ("tpu" in platforms or "axon" in platforms) else next(iter(platforms))
@@ -114,7 +123,10 @@ def train_from_config(cfg: Cfg):
     # the backend exists, and resolve_device/process_count both initialize it
     _init_distributed(cfg)
     # pin the backend before anything else touches jax
-    device = resolve_device((cfg.trainer.get("kwargs") or {}).get("device"))
+    device = resolve_device(
+        (cfg.trainer.get("kwargs") or {}).get("device"),
+        num_cpu_devices=(cfg.get("parallel") or {}).get("num_devices"),
+    )
 
     num_epochs = (cfg.trainer.get("kwargs") or {}).get("num_epochs", 1)
     seed_state = seed_everything(cfg.main.get("random_seed", "vsr"), num_epochs)
@@ -206,7 +218,10 @@ def test_from_config(cfg: Cfg):
     cfg.to_yaml(saved_dir / "config.yaml")
 
     _init_distributed(cfg)  # before any backend use — see train_from_config
-    device = resolve_device((cfg.predictor.get("kwargs") or {}).get("device"))
+    device = resolve_device(
+        (cfg.predictor.get("kwargs") or {}).get("device"),
+        num_cpu_devices=(cfg.get("parallel") or {}).get("num_devices"),
+    )
 
     logger.info("Create the testing dataset and dataloader.")
     data_dir = Path(cfg.dataset.kwargs.data_dir)
