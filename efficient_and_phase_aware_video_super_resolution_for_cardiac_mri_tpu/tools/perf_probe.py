@@ -403,6 +403,100 @@ def probe_dcn(T, HW, dtype, iters, cin=128, cout=128, dg=8, k=3):
     }
 
 
+def probe_train_split(T, HW, dtype, iters):
+    """Training-protocol decomposition (flagship, batch 16, 32x32 patches,
+    7+2x6 frames): forward-only vs full grad step, with XLA's own
+    cost-analysis FLOP counts, to locate the training bound."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models import RefineNet
+
+    cfg = dict(
+        in_channels=1, out_channels=1, num_features=[64, 64, 64], upscale_factor=4,
+        num_stages=3, update_memory=True, num_updated_frames=6,
+        refine_window_size=5, positional_encoding=True,
+    )
+    model = RefineNet(**cfg)
+    rng = np.random.default_rng(0)
+    B, TC, P = 16, 7, 32
+    Tt = TC + 12
+    lr = jnp.asarray(rng.standard_normal((B, Tt, P, P, 1)), dtype)
+    pos = jnp.asarray(rng.uniform(-1, 1, (B, Tt, 1)), dtype)
+    hr = jnp.asarray(rng.standard_normal((B, TC, P * 4, P * 4, 1)), dtype)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), lr, pos)["params"]
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        outs = model.apply({"params": p}, lr, pos)
+        n = len(outs) // 3
+        return sum(
+            (0.5 ** (n - i // 3 - 1)) * jnp.mean(jnp.abs(o - hr))
+            for i, o in enumerate(outs)
+        )
+
+    fwd = jax.jit(loss_fn)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    def xla_flops(fn, *args):
+        try:
+            cost = fn.lower(*args).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            return float(cost.get("flops", float("nan")))
+        except Exception:
+            return None
+
+    def time_pipelined(fn, *args, n=8):
+        float(jnp.sum(fn(*args)[-1] if isinstance(fn(*args), tuple) else fn(*args)))
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(n)]
+            acc = sum(
+                jnp.sum(o[-1]) if isinstance(o, tuple) else jnp.sum(o) for o in outs
+            )
+            float(acc)
+            times.append((time.perf_counter() - t0) / n)
+        return float(np.median(times))
+
+    fwd_sec = time_pipelined(fwd, params)
+
+    # chained (donated-style) steps, one fetch — the bench_train protocol
+    p, s = params, opt_state
+    p, s, l = step(p, s)
+    float(l)
+    t0 = time.perf_counter()
+    for _ in range(max(iters, 4)):
+        p, s, l = step(p, s)
+    float(l)
+    step_sec = (time.perf_counter() - t0) / max(iters, 4)
+
+    fwd_flops = xla_flops(fwd, params)
+    step_flops = xla_flops(step, params, opt_state)
+    out = {
+        "sec": step_sec,
+        "fwd_ms": fwd_sec * 1e3,
+        "step_ms": step_sec * 1e3,
+        "bwd_over_fwd": step_sec / fwd_sec - 1.0,
+        "steps_per_sec": 1.0 / step_sec,
+    }
+    if fwd_flops:
+        out["fwd_tflops"] = fwd_flops / fwd_sec / 1e12
+    if step_flops:
+        out["step_tflops"] = step_flops / step_sec / 1e12
+        out["xla_step_gflops"] = step_flops / 1e9
+    return out
+
+
 def probe_edvr_full(T, HW, dtype, iters, n_pipeline=16):
     """Full EDVR at the zoo config (nf=128, 40 recon ResBlocks, 5-frame
     window), same-process A/B: exact gather DCN vs the windowed
@@ -481,6 +575,7 @@ PROBES = {
     "out": probe_out,
     "out_split": probe_out_split,
     "edvr_full": probe_edvr_full,
+    "train_split": probe_train_split,
     "full": probe_full,
 }
 
