@@ -12,7 +12,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.pixel_shuffle import pixel_shuffle
 from ..ops.resize import upsample_bilinear
 from .common import ConvTransposeTorch, PReLU, UpsampleBlock, conv, fold_time, unfold_time
 
