@@ -47,27 +47,37 @@ def _import_components():
     from .runner import loggers, monitor, predictors, trainers  # noqa: F401
 
 
-def resolve_device(device_str: str | None, num_cpu_devices: int | None = None):
-    """Map the reference's ``'cuda:0'`` strings to the JAX backend.
+def _pin_backend_config(device_str: str | None, num_cpu_devices: int | None = None):
+    """Pure ``jax.config`` pins, touching NO backend state — must run before
+    BOTH :func:`_init_distributed` (whose process_index/count calls bring the
+    backend up) and any device query.
 
-    ``device: 'cpu'`` configs actually pin jax to CPU (the environment's TPU
-    plugin self-registers, so the config must override it explicitly —
-    BASELINE config #1 demands CPU inference).  ``num_cpu_devices``
-    self-provisions a virtual CPU mesh for ``parallel:`` configs run on CPU
-    (no XLA_FLAGS needed — same mechanism as ``dryrun_multichip``); it only
-    takes effect before the backend initializes.
-    """
+    ``device: 'cpu'`` configs pin jax to CPU (the environment's TPU plugin
+    self-registers, so the config must override it explicitly — BASELINE
+    config #1 demands CPU inference).  ``num_cpu_devices`` self-provisions a
+    virtual CPU mesh for ``parallel:`` configs run on CPU (no XLA_FLAGS
+    needed — same mechanism as ``dryrun_multichip``)."""
     import jax
 
     if device_str and device_str.startswith("cpu"):
-        jax.config.update("jax_platforms", "cpu")
-        if num_cpu_devices and num_cpu_devices > 1:
-            try:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            if num_cpu_devices and num_cpu_devices > 1:
                 jax.config.update("jax_num_cpu_devices", int(num_cpu_devices))
-            except RuntimeError:
-                pass  # backend already up (library/test use) — make_mesh
-                # reports a clear error if the devices don't suffice
+        except RuntimeError:
+            pass  # backend already up (library/test use) — make_mesh reports
+            # a clear error if the devices don't suffice
+
+
+def resolve_device(device_str: str | None, num_cpu_devices: int | None = None):
+    """Map the reference's ``'cuda:0'`` strings to the JAX backend (pinning
+    via :func:`_pin_backend_config` — idempotent for entry points that pinned
+    earlier)."""
+    _pin_backend_config(device_str, num_cpu_devices)
+    if device_str and device_str.startswith("cpu"):
         return "cpu"
+    import jax
+
     platforms = {d.platform for d in jax.devices()}
     return "tpu" if ("tpu" in platforms or "axon" in platforms) else next(iter(platforms))
 
@@ -119,14 +129,14 @@ def train_from_config(cfg: Cfg):
     saved_dir.mkdir(parents=True, exist_ok=True)
     cfg.to_yaml(saved_dir / "config.yaml")
 
-    # multi-host init FIRST: jax.distributed.initialize refuses to run once
-    # the backend exists, and resolve_device/process_count both initialize it
+    # ORDER MATTERS: (1) pure config pins (no backend state) so a CPU run
+    # targets the right platform with enough virtual devices, (2) multi-host
+    # init — jax.distributed.initialize refuses once the backend exists and
+    # itself brings the backend up, (3) resolve the device name.
+    device_str = (cfg.trainer.get("kwargs") or {}).get("device")
+    _pin_backend_config(device_str, (cfg.get("parallel") or {}).get("num_devices"))
     _init_distributed(cfg)
-    # pin the backend before anything else touches jax
-    device = resolve_device(
-        (cfg.trainer.get("kwargs") or {}).get("device"),
-        num_cpu_devices=(cfg.get("parallel") or {}).get("num_devices"),
-    )
+    device = resolve_device(device_str)
 
     num_epochs = (cfg.trainer.get("kwargs") or {}).get("num_epochs", 1)
     seed_state = seed_everything(cfg.main.get("random_seed", "vsr"), num_epochs)
@@ -217,11 +227,11 @@ def test_from_config(cfg: Cfg):
     saved_dir.mkdir(parents=True, exist_ok=True)
     cfg.to_yaml(saved_dir / "config.yaml")
 
-    _init_distributed(cfg)  # before any backend use — see train_from_config
-    device = resolve_device(
-        (cfg.predictor.get("kwargs") or {}).get("device"),
-        num_cpu_devices=(cfg.get("parallel") or {}).get("num_devices"),
-    )
+    # config pins → distributed init → device resolve (see train_from_config)
+    device_str = (cfg.predictor.get("kwargs") or {}).get("device")
+    _pin_backend_config(device_str, (cfg.get("parallel") or {}).get("num_devices"))
+    _init_distributed(cfg)
+    device = resolve_device(device_str)
 
     logger.info("Create the testing dataset and dataloader.")
     data_dir = Path(cfg.dataset.kwargs.data_dir)

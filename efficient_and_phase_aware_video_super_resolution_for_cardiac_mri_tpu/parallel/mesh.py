@@ -57,9 +57,10 @@ def make_mesh(
     if n > len(devices):
         raise ValueError(
             f"parallel.num_devices={n} but only {len(devices)} device(s) are "
-            f"visible ({devices[0].platform}). Lower num_devices, or for CPU "
-            "tests provision a virtual mesh (XLA_FLAGS="
-            "--xla_force_host_platform_device_count=N)."
+            f"visible ({devices[0].platform}). Lower num_devices; a config "
+            "with device: 'cpu' self-provisions the virtual mesh when run "
+            "through the CLI entry points (library users: set "
+            "jax_num_cpu_devices before any backend use)."
         )
     sp, mp = spatial_parallel, model_parallel
     if sp > 1 and mp > 1:

@@ -408,9 +408,11 @@ class BaseTrainer:
             )
         if ckpt.get("optimizer") is not None:
             restored = ckpt["optimizer"]
-            if self.optimizer is not None:
+            if self.optimizer is not None and isinstance(restored, (dict, list)):
                 # orbax restores degrade namedtuple optax states to dicts;
-                # rebuild onto the real state structure (no-op for pickle)
+                # rebuild onto the real state structure.  Gated on the
+                # degradation so pickle checkpoints (which preserve the
+                # namedtuples) skip the optimizer.init structure allocation
                 restored = ckpt_io.coerce_like(self.optimizer.init(self.params), restored)
             self.opt_state = partition_tree(
                 self.mesh,

@@ -43,15 +43,23 @@ NET_KWARGS = dict(
 
 
 def group_by_shape(dataset):
-    """{(T, H, W): [indices]} so each group batches into one jitted call.
+    """{shape key: [indices]} so each group batches into one jitted call.
 
-    Stores INDICES only — materializing every decoded item up front held the
-    whole split's float32 LR+HR sequences in memory at once; items are
-    re-fetched per device chunk instead (the underlying volumes are LRU-cached
-    by the dataset, so the second read is cheap)."""
+    Stores INDICES only and keys groups by the LR NIfTI HEADER shape (348
+    bytes streamed, nothing decoded): the item shape is a deterministic
+    function of the header shape for a fixed dataset config, so header
+    equality ⇒ item-shape equality.  The old version decoded every item up
+    front, holding the whole split's float32 sequences in memory at once."""
+    from ..utils import nifti
+
     groups = defaultdict(list)
     for idx in range(len(dataset)):
-        groups[dataset[idx]["lr_imgs"].shape].append(idx)
+        lr_path = dataset.data[idx][0]
+        try:
+            key = tuple(nifti.read_header(lr_path)["shape"])
+        except Exception:
+            key = dataset[idx]["lr_imgs"].shape  # decode fallback
+        groups[key].append(idx)
     return groups
 
 

@@ -323,14 +323,23 @@ def test_window_matches_reference_slicing_semantics():
         _window,
     )
 
-    def reference(start, end, vol):  # verbatim reference arithmetic
-        T = vol.shape[-1]
+    def expected_indices(start, end, T):
+        """Independent index-level spec of the reference's concatenate
+        slicing (acdc_misr_dataset.py:59-68), derived from numpy slice
+        semantics — NOT a copy of its array code: start<0 wraps start from
+        the end and CLAMPS end to T (vol[:end] with end>T is the whole
+        volume); only the nonnegative-start overrun branch reduces end
+        mod T."""
         if start < 0:
-            return np.concatenate((vol[..., start:], vol[..., :end]), axis=-1)
-        elif end > T:
-            end %= T
-            return np.concatenate((vol[..., start:], vol[..., :end]), axis=-1)
-        return vol[..., start:end]
+            # numpy clamps both ends: vol[start:] with |start| > T is the
+            # whole volume, vol[:end] with end > T likewise
+            return list(range(max(0, T + start), T)) + list(range(min(end, T)))
+        if end > T:
+            return list(range(start, T)) + list(range(end % T))
+        return list(range(start, end))
+
+    def reference(start, end, vol):
+        return vol[..., expected_indices(start, end, vol.shape[-1])]
 
     vol = np.arange(2 * 3 * 7).reshape(2, 3, 7)
     for T in (3, 5, 7):
