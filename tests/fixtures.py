@@ -40,16 +40,21 @@ def make_acdc_tree(
         for p_idx in range(patients_per_split):
             pid += 1
             patient = f"patient{pid:03d}"
-            if frames_per_patient:
-                frames = frames_per_patient[p_idx % len(frames_per_patient)]
+            # do NOT rebind the ``frames`` parameter: the returned metadata
+            # would reflect whichever patient was generated last
+            n_frames = (
+                frames_per_patient[p_idx % len(frames_per_patient)]
+                if frames_per_patient
+                else frames
+            )
             # smooth-ish random video in [0, 255]
             base = rng.uniform(40, 200, size=(H, W, 1, 1)).astype(np.float32)
-            wave = 40 * np.sin(np.linspace(0, 2 * np.pi, frames, endpoint=False)).astype(np.float32)
+            wave = 40 * np.sin(np.linspace(0, 2 * np.pi, n_frames, endpoint=False)).astype(np.float32)
             for s in range(1, slices + 1):
                 hr = np.clip(
                     base
                     + wave[None, None, None, :]
-                    + rng.normal(0, 10, size=(H, W, 1, frames)).astype(np.float32),
+                    + rng.normal(0, 10, size=(H, W, 1, n_frames)).astype(np.float32),
                     0,
                     255,
                 ).round()
@@ -58,7 +63,7 @@ def make_acdc_tree(
                 for f in factors:
                     lr = hr[::f, ::f]  # cheap stand-in degradation for tests
                     nifti.save(lr, root / "videos" / split / "LR" / f"X{f}" / patient / name)
-                for t in range(frames):
+                for t in range(n_frames):
                     img_name = f"{patient}_2d_slice{s:0>2d}_frame{t+1:0>2d}.nii.gz"
                     nifti.save(hr[..., t], root / "imgs" / split / "HR" / patient / img_name)
                     for f in factors:
@@ -67,9 +72,9 @@ def make_acdc_tree(
                             root / "imgs" / split / "LR" / f"X{f}" / patient / img_name,
                         )
             # cosine phase code, rolled like gen_positional_encoding.py:35-38
-            end = max(2, int(frames * 0.4))
+            end = max(2, int(n_frames * 0.4))
             y1 = np.cos(np.linspace(0, np.pi, end, endpoint=False))
-            y2 = np.cos(np.linspace(np.pi, 2 * np.pi, frames - end, endpoint=False))
+            y2 = np.cos(np.linspace(np.pi, 2 * np.pi, n_frames - end, endpoint=False))
             pos_codes[patient] = np.concatenate([y1, y2]).astype(np.float32)
             coords[patient] = (H // 4, 3 * H // 4, W // 4, 3 * W // 4)
 

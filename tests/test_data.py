@@ -265,11 +265,14 @@ def test_misr_window_wraps_at_sequence_end(tree):
     )
     # last frame of the first sequence: window wraps to the front
     item = ds[FRAMES - 1]
-    first = ds[1]  # its window covers frames 0..3 around t=1 (wraps at front too)
     assert item["lr_imgs"].shape == (5, 12, 12, 1)
     # wrap correctness: t=T-1 middle window is [T-3, T-2, T-1, 0, 1]
     direct = ds[0]["lr_imgs"]  # t=0 window is [T-2, T-1, 0, 1, 2]
     np.testing.assert_allclose(item["lr_imgs"][3], direct[2])  # frame 0 in both
+    # front wrap: t=1 middle window is [T-1, 0, 1, 2, 3]
+    first = ds[1]["lr_imgs"]
+    np.testing.assert_allclose(first[0], direct[1])  # frame T-1 in both
+    np.testing.assert_allclose(first[1], direct[2])  # frame 0 in both
 
 
 def test_vsr_temporal_order_last(tree):
@@ -281,12 +284,15 @@ def test_vsr_temporal_order_last(tree):
         num_frames=3,
         temporal_order="last",
     )
-    # t=2 window (last order) = frames [0, 1, 2]
+    # t=2 window (last order) = frames [0, 1, 2], in THAT order — check the
+    # actual frames against the whole-sequence item, not just the shape
     item = ds[2]
-    whole = DATASETS.get("AcdcVSRDataset")(
-        data_dir=tree["videos_dir"], type="valid", downscale_factor=4, transforms=NORM
-    )
     assert item["lr_imgs"].shape == (3, 12, 12, 1)
+    whole = DATASETS.get("AcdcVSRDataset")(
+        data_dir=tree["videos_dir"], type="train", downscale_factor=4,
+        transforms=NORM, num_frames=FRAMES, temporal_order="last",
+    )[FRAMES - 1]["lr_imgs"]  # t=T-1 'last' window = the full sequence 0..T-1
+    np.testing.assert_allclose(item["lr_imgs"], whole[:3])
 
 
 def test_volume_cache_thread_safety(tree):

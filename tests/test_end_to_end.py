@@ -344,18 +344,32 @@ def test_sigterm_preemption_checkpoints_and_resumes(tree, tmp_path_factory):
         train_from_config(load_config({str(cfg_path)!r}))
         print("TRAIN_EXITED_CLEANLY", flush=True)
     """)
-    proc = subprocess.Popen(
-        [sys.executable, "-c", script], stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True,
-    )
-    # let a couple of epochs complete, then preempt
-    deadline = time.time() + 240
-    ckpt_dir = out / "train" / "checkpoints"
-    while time.time() < deadline and not (ckpt_dir / "model_best.pth").exists():
-        time.sleep(1)
-        assert proc.poll() is None, proc.stdout.read()[-1500:]
-    os.kill(proc.pid, signal.SIGTERM)
-    stdout, _ = proc.communicate(timeout=240)
+    # stdout goes to a FILE, not a PIPE: an undrained 64KB pipe would fill
+    # with epoch logging and block the child mid-write, so SIGTERM would land
+    # in a wedged process and the asserts would fail spuriously
+    log_path = out / "child.log"
+    with open(log_path, "w") as log_f:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script], stdout=log_f,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        # let a couple of epochs complete, then preempt
+        deadline = time.time() + 240
+        ckpt_dir = out / "train" / "checkpoints"
+        while time.time() < deadline and not (ckpt_dir / "model_best.pth").exists():
+            time.sleep(1)
+            assert proc.poll() is None, log_path.read_text()[-1500:]
+        try:
+            assert (ckpt_dir / "model_best.pth").exists(), (
+                f"no checkpoint within 240s:\n{log_path.read_text()[-1500:]}"
+            )
+            os.kill(proc.pid, signal.SIGTERM)
+            proc.communicate(timeout=240)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.communicate(timeout=60)
+    stdout = log_path.read_text()
     assert proc.returncode == 0, stdout[-1500:]
     assert "TRAIN_EXITED_CLEANLY" in stdout
     assert (ckpt_dir / "model_preempted.pth").exists(), stdout[-1000:]

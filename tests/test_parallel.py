@@ -17,7 +17,6 @@ from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parall
     DATA_AXIS,
     MODEL_AXIS,
     SPATIAL_AXIS,
-    batch_sharding,
     gather_for_compute,
     make_mesh,
     partition_tree,
@@ -338,23 +337,46 @@ def test_two_process_distributed_cpu_matches_single_process(tmp_path):
     assert single.returncode == 0, single.stderr[-1500:]
     want = losses(single)
 
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
     ckpt_dir = tmp_path / "shared_ckpts"
     ckpt_dir.mkdir()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, "--pid", str(i), "--port", str(port),
-             "--ckpt-dir", str(ckpt_dir)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=240) for p in procs]
-    if any(p.returncode for p in procs):
+    # same env treatment as the single-process run: strip conftest's
+    # XLA_FLAGS so the workers' own jax_num_cpu_devices=4 is authoritative
+    # regardless of jax's flag/config precedence
+    worker_env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_FLAGS")}
+
+    def launch():
+        # bind/close/launch is a TOCTOU race on the coordinator port; the
+        # retry below covers another process stealing it in the gap
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, "--pid", str(i), "--port", str(port),
+                 "--ckpt-dir", str(ckpt_dir)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=worker_env,
+            )
+            for i in range(2)
+        ]
+        try:
+            return procs, [p.communicate(timeout=240) for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.communicate(timeout=60)
+            raise
+
+    procs, outs = launch()
+    stderr = "\n".join(e for _, e in outs)
+    if any(p.returncode for p in procs) and (
+        "address already in use" in stderr.lower() or "failed to bind" in stderr.lower()
+    ):
+        procs, outs = launch()  # port was stolen between probe and bind
         stderr = "\n".join(e for _, e in outs)
+    if any(p.returncode for p in procs):
         # only a runtime that forbids multi-process coordination is a valid
         # skip; anything else is a real failure
         forbidden = "must be called before any JAX calls" in stderr or (

@@ -82,7 +82,9 @@ def test_forward_parity_all_branches(pair, inputs):
     assert len(got) == len(want) == CFG["num_stages"] * 3
     for i, (g, w) in enumerate(zip(got, want)):
         assert g.shape == w.shape, f"branch {i}: {g.shape} vs {w.shape}"
-        np.testing.assert_allclose(np.asarray(g), w, atol=5e-5, rtol=1e-4), f"branch {i}"
+        np.testing.assert_allclose(
+            np.asarray(g), w, atol=5e-5, rtol=1e-4, err_msg=f"branch {i}"
+        )
 
 
 def test_forward_parity_without_pe():
@@ -155,7 +157,7 @@ def test_gradient_nograd_boundary_parity(pair, inputs):
         got = np.asarray(node)
         if perm is not None:
             got = got.transpose(3, 2, 0, 1)  # HWIO -> OIHW
-        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-3), t_key
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-3, err_msg=str(t_key))
 
 
 def test_quirk3_refine_body_is_linear(pair):

@@ -142,8 +142,8 @@ def test_loggers_write_scalars_and_images(tmp_path):
     assert list((tmp_path / "log").glob("events*"))
 
 
-def test_monitor_early_stop():
-    m = Monitor(checkpoints_dir="/tmp/evsr_monitor_test", mode="min", target="Loss",
+def test_monitor_early_stop(tmp_path):
+    m = Monitor(checkpoints_dir=tmp_path / "ckpts", mode="min", target="Loss",
                 saved_freq=100, early_stop=2)
     assert m.is_best({"Loss": 1.0}) is not None
     assert m.is_best({"Loss": 2.0}) is None
