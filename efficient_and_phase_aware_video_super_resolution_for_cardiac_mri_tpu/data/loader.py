@@ -62,9 +62,19 @@ class Dataloader:
 
         try:
             sig = inspect.signature(type(dataset).__getitem__)
-            self._getitem_takes_rng = "rng" in sig.parameters
+            self._getitem_takes_rng = "rng" in sig.parameters or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values()
+            )
         except (TypeError, ValueError):
-            self._getitem_takes_rng = False
+            # signature unobtainable (C-implemented / wrapped __getitem__):
+            # probe with a real call so rng-accepting datasets keep their
+            # deterministic per-item rng instead of silently losing it
+            try:
+                dataset.__getitem__(0, rng=item_rng(0, 0))
+                self._getitem_takes_rng = True
+            except TypeError:
+                self._getitem_takes_rng = False
 
     def set_epoch(self, seed: int) -> None:
         """Fix the epoch's shuffle order + augmentation randomness."""

@@ -106,11 +106,21 @@ def video_spec(mesh: Mesh, ndim: int) -> P:
     return P(*spec)
 
 
+#: batch keys eligible for ``spatial`` (height) sharding.  Image/video arrays
+#: in this framework are channels-LAST — (B, H, W, C) or (B, T, H, W, C), so
+#: height is axis ndim-3 — and every such key matches this predicate.  A
+#: rank-4 array under an unknown key (e.g. a (B, T, H, W) mask with no channel
+#: axis) gets batch-only sharding rather than a silently wrong layout.
+def _spatial_key(key) -> bool:
+    return isinstance(key, str) and ("img" in key or key in ("lr", "hr", "pos", "pos_code"))
+
+
 def shard_batch(mesh: Mesh | None, batch: dict) -> dict:
     """Place a host batch on device: batch axis over ``data``; the height axis
-    of rank>=4 image/video arrays additionally over ``spatial`` when the mesh
-    has that axis (and the size divides).  Scalars / indivisible arrays are
-    replicated on the offending axis.
+    of channels-last image/video arrays (rank >= 4 under a ``_spatial_key``)
+    additionally over ``spatial`` when the mesh has that axis (and the size
+    divides).  Scalars / indivisible arrays are replicated on the offending
+    axis.
     """
     if mesh is None:
         return jax.tree.map(jax.numpy.asarray, batch)
@@ -118,14 +128,16 @@ def shard_batch(mesh: Mesh | None, batch: dict) -> dict:
     dp = mesh.shape[DATA_AXIS]
     sp = mesh.shape.get(SPATIAL_AXIS, 1)
 
-    def put(x):
+    def put(x, spatial_ok: bool):
         x = np.asarray(x)
         if x.ndim < 1:
             return jax.device_put(x, repl)
         # the ideal layout, then downgrade axes that don't divide — the axes
         # decide independently: batch-1 prediction replicates over ``data``
         # but still shards the height axis over ``spatial``
-        spec = list(video_spec(mesh, x.ndim))
+        spec = list(video_spec(mesh, x.ndim)) if spatial_ok else (
+            [DATA_AXIS] + [None] * (x.ndim - 1)
+        )
         if spec[0] == DATA_AXIS and x.shape[0] % dp != 0:
             spec[0] = None
         h_axis = x.ndim - 3
@@ -140,7 +152,12 @@ def shard_batch(mesh: Mesh | None, batch: dict) -> dict:
             )
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
-    return jax.tree.map(put, batch)
+    if isinstance(batch, dict):
+        return {
+            k: jax.tree.map(lambda x, ok=_spatial_key(k): put(x, ok), v)
+            for k, v in batch.items()
+        }
+    return jax.tree.map(lambda x: put(x, True), batch)
 
 
 _WARNED: set = set()

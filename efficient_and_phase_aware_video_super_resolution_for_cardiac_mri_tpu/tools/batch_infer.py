@@ -55,10 +55,13 @@ def group_by_shape(dataset):
     groups = defaultdict(list)
     for idx in range(len(dataset)):
         lr_path = dataset.data[idx][0]
+        # tag each key with its key space: header-shape tuples (H, W, C, T)
+        # and decoded item-shape tuples (T, h, w, 1) must never collide in
+        # one group (stacked shapes would differ and np.stack would crash)
         try:
-            key = tuple(nifti.read_header(lr_path)["shape"])
+            key = ("header", *nifti.read_header(lr_path)["shape"])
         except Exception:
-            key = dataset[idx]["lr_imgs"].shape  # decode fallback
+            key = ("item", *dataset[idx]["lr_imgs"].shape)  # decode fallback
         groups[key].append(idx)
     return groups
 

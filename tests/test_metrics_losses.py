@@ -123,6 +123,61 @@ def test_loss_names_are_log_keys():
     assert L.FlowLoss().name == "FlowLoss"
 
 
+def test_torch_builtin_losses_match_torch():
+    """Every registered two-arg torch builtin reproduces torch.nn exactly
+    (the reference resolves any `dir(torch.nn)` name containing 'Loss',
+    reference src/main.py:63-67)."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 5, 6)).astype(np.float32)  # logits / raw
+    t01 = rng.uniform(0.05, 0.95, size=x.shape).astype(np.float32)
+    tx, tt = torch.from_numpy(x), torch.from_numpy(t01)
+    sig = 1.0 / (1.0 + np.exp(-x))
+
+    cases = [
+        (L.BCELoss(), torch.nn.BCELoss(), sig, t01),
+        (L.BCEWithLogitsLoss(), torch.nn.BCEWithLogitsLoss(), x, t01),
+        (L.SoftMarginLoss(), torch.nn.SoftMarginLoss(), x,
+         np.where(t01 > 0.5, 1.0, -1.0).astype(np.float32)),
+        (L.HingeEmbeddingLoss(), torch.nn.HingeEmbeddingLoss(), np.abs(x),
+         np.where(t01 > 0.5, 1, -1).astype(np.float32)),
+        (L.PoissonNLLLoss(), torch.nn.PoissonNLLLoss(), x,
+         rng.poisson(2.0, size=x.shape).astype(np.float32)),
+        (L.PoissonNLLLoss(log_input=False, full=True),
+         torch.nn.PoissonNLLLoss(log_input=False, full=True), np.abs(x) + 0.1,
+         rng.poisson(2.0, size=x.shape).astype(np.float32)),
+        (L.KLDivLoss(), torch.nn.KLDivLoss(),
+         np.log(t01 / t01.sum(axis=1, keepdims=True)),
+         t01 / t01.sum(axis=1, keepdims=True)),
+    ]
+    for ours, theirs, o, t in cases:
+        want = float(theirs(torch.from_numpy(np.asarray(o)), torch.from_numpy(np.asarray(t))))
+        got = float(ours(o, t))
+        assert got == pytest.approx(want, rel=1e-5, abs=1e-6), ours.name
+
+    # CrossEntropy / NLL: class-index and probability targets
+    idx = rng.integers(0, 5, size=(4, 6))
+    want = float(torch.nn.CrossEntropyLoss()(tx, torch.from_numpy(idx)))
+    assert float(L.CrossEntropyLoss()(x, idx)) == pytest.approx(want, rel=1e-5)
+    probs = t01 / t01.sum(axis=1, keepdims=True)
+    want = float(torch.nn.CrossEntropyLoss()(tx, torch.from_numpy(probs)))
+    assert float(L.CrossEntropyLoss()(x, probs)) == pytest.approx(want, rel=1e-5)
+    logp = torch.log_softmax(tx, dim=1)
+    want = float(torch.nn.NLLLoss()(logp, torch.from_numpy(idx)))
+    assert float(L.NLLLoss()(np.asarray(logp), idx)) == pytest.approx(want, rel=1e-5)
+
+    # reduction='sum' path + our registry resolves all of them by name
+    want = float(torch.nn.BCEWithLogitsLoss(reduction="sum")(tx, tt))
+    assert float(L.BCEWithLogitsLoss(reduction="sum")(x, t01)) == pytest.approx(want, rel=1e-5)
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import LOSSES
+
+    for name in ["BCELoss", "BCEWithLogitsLoss", "KLDivLoss", "NLLLoss",
+                 "CrossEntropyLoss", "PoissonNLLLoss", "SoftMarginLoss",
+                 "HingeEmbeddingLoss"]:
+        assert LOSSES.get(name) is not None
+
+
 def test_denormalize():
     x = np.array([[-1.2, 0.0, 5.0]], np.float32)
     got = np.asarray(denormalize(x, "acdc"))
