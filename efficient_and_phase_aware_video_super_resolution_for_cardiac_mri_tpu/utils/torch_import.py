@@ -37,10 +37,15 @@ def _set(tree: dict, path: tuple[str, ...], value: np.ndarray):
 
 
 def state_dict_to_numpy(state_dict: Mapping) -> dict[str, np.ndarray]:
-    """Detach a torch state_dict to plain numpy (torch optional elsewhere)."""
+    """Detach a torch state_dict to plain numpy (torch optional elsewhere).
+
+    COPIES: ``Tensor.numpy()`` shares memory with the live torch parameters,
+    so without the copy a later in-place optimizer step on the source net
+    would silently mutate the imported tree."""
     out = {}
     for k, v in state_dict.items():
-        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        out[k] = np.array(arr, copy=True)
     return out
 
 

@@ -1,0 +1,226 @@
+"""Training-dynamics A/B: the reference's ACTUAL train loop vs ours.
+
+Everything upstream is parity-tested branch-by-branch (forward, gradients,
+weight import); this closes the last axis of the fidelity contract — the
+optimizer semantics.  Both sides start from the SAME imported initial weights,
+iterate the SAME synthetic batches in the same order, and take N real Adam
+steps at the shipped config hyperparams; the per-epoch mean losses of the
+reference's own epoch loop (``src/runner/trainers/base_trainer.py:99-144``,
+driven through the real ``AcdcSISRTrainer`` / ``AcdcSISRSRFBTrainer``) must
+track ours step for step.  Losses change after every optimizer step, so
+trajectory agreement over 12 steps pins lr/beta/eps placement and the
+loss-weight summation (``base_trainer.py:126``) by measurement, not by
+construction.
+
+Tolerance: both sides run f32 on CPU with different conv/reduction orders
+(XLA vs torch); measured max relative deviation of the per-epoch losses is
+~4e-7 after 12 steps, so rtol 1e-5 holds with ~30x margin while a wrong eps
+placement, lr, or missing bias correction diverges orders of magnitude
+faster within the first step.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import (
+    losses as L,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import (
+    models as M,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.optim import (
+    Optimizer,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.trainers import (
+    SISRSRFBTrainer,
+    SISRTrainer,
+)
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils.torch_import import (
+    variables_from_torch_state_dict,
+)
+from reference_loader import load_reference_module, reference_available
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not reference_available(), reason="reference repo not mounted"),
+]
+
+# shipped hyperparams: /root/reference/configs/train/edsr_net/exp1_x4.yaml:37-41
+LR, WEIGHT_DECAY = 1e-4, 0.0
+N_ITEMS, BATCH, EPOCHS = 8, 4, 6  # 2 steps/epoch x 6 = 12 optimizer steps
+
+
+def _load_reference_trainers():
+    """Reference trainer classes with their real base-class train loop."""
+    load_reference_module("src/utils.py", "src.utils")
+    load_reference_module(
+        "src/runner/trainers/base_trainer.py", "src.runner.trainers.base_trainer"
+    )
+    sisr = load_reference_module(
+        "src/runner/trainers/acdc_sisr_trainer.py",
+        "src.runner.trainers.acdc_sisr_trainer",
+    )
+    # the SRFB trainer imports AcdcSISRTrainer from the package __init__
+    # (heavy imports there) — publish it on the stub package instead
+    sys.modules["src.runner.trainers"].AcdcSISRTrainer = sisr.AcdcSISRTrainer
+    srfb = load_reference_module(
+        "src/runner/trainers/acdc_sisr_srfb_trainer.py",
+        "src.runner.trainers.acdc_sisr_srfb_trainer",
+    )
+    return sisr.AcdcSISRTrainer, srfb.AcdcSISRSRFBTrainer
+
+
+def _sisr_items(seed=0, hw=10, factor=4):
+    rng = np.random.default_rng(seed)
+    items = []
+    for _ in range(N_ITEMS):
+        items.append(
+            {
+                "lr_img": rng.standard_normal((hw, hw, 1)).astype(np.float32),
+                "hr_img": rng.standard_normal((hw * factor, hw * factor, 1)).astype(
+                    np.float32
+                ),
+            }
+        )
+    return items
+
+
+class _ListDataset:
+    """Minimal in-memory dataset for our Dataloader (channels-last numpy)."""
+
+    def __init__(self, items):
+        self.items = items
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+class _TorchListDataset:
+    """Same items as (C, H, W) torch tensors for the reference DataLoader."""
+
+    def __init__(self, items):
+        import torch
+
+        self.items = [
+            {k: torch.from_numpy(v.transpose(2, 0, 1)).contiguous() for k, v in it.items()}
+            for it in items
+        ]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def _reference_losses(trainer_cls, net, items):
+    """Per-epoch train losses out of the reference's own epoch loop."""
+    import torch
+
+    loader = torch.utils.data.DataLoader(
+        _TorchListDataset(items), batch_size=BATCH, shuffle=False
+    )
+    trainer = trainer_cls(
+        device=torch.device("cpu"),
+        train_dataloader=loader,
+        valid_dataloader=loader,
+        net=net,
+        loss_fns=[torch.nn.L1Loss()],
+        loss_weights=[1.0],
+        metric_fns=[],
+        optimizer=torch.optim.Adam(net.parameters(), lr=LR, weight_decay=WEIGHT_DECAY),
+        lr_scheduler=None,
+        logger=None,
+        monitor=None,
+        num_epochs=EPOCHS,
+    )
+    losses = []
+    for _ in range(EPOCHS):
+        log, _, _ = trainer._run_epoch("training")
+        losses.append(log["Loss"])
+    return losses
+
+
+def _our_losses(trainer_cls, model, variables, items):
+    """Per-epoch train losses out of OUR trainer's epoch engine."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.data.loader import (
+        Dataloader,
+    )
+
+    loader = Dataloader(_ListDataset(items), batch_size=BATCH, shuffle=False)
+    optimizer = Optimizer("Adam", lr=LR, weight_decay=WEIGHT_DECAY)
+    trainer = trainer_cls(
+        device="cpu",
+        train_dataloader=loader,
+        valid_dataloader=loader,
+        net=model,
+        loss_fns=[L.L1Loss()],
+        loss_weights=[1.0],
+        metric_fns=[],
+        optimizer=optimizer,
+        num_epochs=EPOCHS,
+    )
+    import jax
+
+    params = jax.tree.map(jnp.asarray, dict(variables)["params"])
+    trainer.params = params
+    trainer.opt_state = optimizer.init(params)
+    losses = []
+    for _ in range(EPOCHS):
+        log, _, _ = trainer._run_epoch("training")
+        losses.append(log["Loss"])
+    return losses
+
+
+def _compare(ref_losses, our_losses):
+    ref, ours = np.asarray(ref_losses), np.asarray(our_losses)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-7)
+    # the trajectory must actually move (otherwise agreement is vacuous)
+    assert abs(ref[0] - ref[-1]) > 1e-4
+
+
+def _load_net_module(modname):
+    load_reference_module("src/model/nets/base_net.py", "src.model.nets.base_net")
+    return load_reference_module(
+        f"src/model/nets/{modname}.py", f"src.model.nets.{modname}"
+    )
+
+
+def test_edsr_train_dynamics_match_reference():
+    import torch
+
+    ref_trainer_cls, _ = _load_reference_trainers()
+    net_mod = _load_net_module("edsr_net")
+    torch.manual_seed(0)
+    kwargs = dict(num_resblocks=3, num_features=8, upscale_factor=4)
+    ref_net = net_mod.EDSRNet(1, 1, **kwargs)
+    variables = variables_from_torch_state_dict("EDSRNet", ref_net.state_dict())
+    items = _sisr_items(seed=0)
+    ref_losses = _reference_losses(ref_trainer_cls, ref_net, items)
+    our_losses = _our_losses(SISRTrainer, M.EDSRNet(1, 1, **kwargs), variables, items)
+    _compare(ref_losses, our_losses)
+
+
+def test_srfb_train_dynamics_match_reference():
+    """SRFB also covers the multi-branch loss averaging path
+    (reference acdc_sisr_srfb_trainer.py:21-26)."""
+    import torch
+
+    _, ref_trainer_cls = _load_reference_trainers()
+    net_mod = _load_net_module("srfb_net")
+    torch.manual_seed(1)
+    kwargs = dict(num_steps=2, num_features=8, num_groups=2, upscale_factor=4)
+    ref_net = net_mod.SRFBNet(1, 1, **kwargs)
+    variables = variables_from_torch_state_dict("SRFBNet", ref_net.state_dict())
+    items = _sisr_items(seed=1, hw=8)
+    ref_losses = _reference_losses(ref_trainer_cls, ref_net, items)
+    our_losses = _our_losses(
+        SISRSRFBTrainer, M.SRFBNet(1, 1, **kwargs), variables, items
+    )
+    _compare(ref_losses, our_losses)
