@@ -319,7 +319,10 @@ class SISRPredictor(BasePredictor):
         imgs_dir = self.saved_dir / "imgs" / patient
         imgs_dir.mkdir(parents=True, exist_ok=True)
         fid = filename.split("_")[-1]
-        _dump_image(imgs_dir / f"{sid}_{fid}.png", sr)
+        # MISR sids come from 2d+1d names ('sequenceNN') but PNGs are named
+        # by slice (reference acdc_misr_predictor.py:91); SISR sids are
+        # already 'sliceNN' so the replace is a no-op there
+        _dump_image(imgs_dir / f"{sid.replace('sequence', 'slice')}_{fid}.png", sr)
 
     def _flush_gif(self):
         patient, sid = self._gif_key

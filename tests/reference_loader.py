@@ -29,11 +29,16 @@ def _ensure_pkg(name: str):
 def load_reference_module(relpath: str, modname: str):
     """Load e.g. ``src/model/nets/refine_net.py`` as ``modname`` with stubbed
     parent packages (bypasses the reference's heavy ``__init__`` imports)."""
-    for i in range(1, len(modname.split("."))):
-        _ensure_pkg(".".join(modname.split(".")[:i]))
+    parts = modname.split(".")
+    for i in range(1, len(parts)):
+        pkg = _ensure_pkg(".".join(parts[:i]))
+        if i > 1:  # wire parent.child like a real import would
+            setattr(sys.modules[".".join(parts[: i - 1])], parts[i - 1], pkg)
     spec = importlib.util.spec_from_file_location(modname, REFERENCE_ROOT / relpath)
     module = importlib.util.module_from_spec(spec)
     sys.modules[modname] = module
+    if len(parts) > 1:
+        setattr(sys.modules[".".join(parts[:-1])], parts[-1], module)
     spec.loader.exec_module(module)
     return module
 
