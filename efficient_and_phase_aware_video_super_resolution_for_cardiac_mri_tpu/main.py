@@ -15,6 +15,8 @@ Optional extension section (absent from reference configs, defaulted off):
         num_devices: 8      # mesh size (default: all devices)
         spatial_parallel: 2 # shard the image height axis (halo via GSPMD)
         model_parallel: 2   # tensor-parallel conv kernels (out-features)
+        pad_h: true         # edge-extend indivisible heights so they still
+                            # shard (prediction; outputs cropped in-step)
         # data-parallel size = num_devices / (spatial x model)
 
 """
@@ -252,6 +254,10 @@ def test_from_config(cfg: Cfg):
     logger.info("Create the predictor.")
     pred_kwargs = dict(cfg.predictor.get("kwargs") or {})
     pred_kwargs["device"] = device
+    # parallel: {pad_h: true} — edge-extend indivisible heights so spatial
+    # sharding engages (see BasePredictor.pad_h)
+    if (cfg.get("parallel") or {}).get("pad_h"):
+        pred_kwargs.setdefault("pad_h", True)
     predictor = PREDICTORS.get(cfg.predictor.name)(
         test_dataloader=test_loader,
         net=net,

@@ -18,6 +18,7 @@ from __future__ import annotations
 import csv
 import inspect
 import logging
+from functools import partial
 from pathlib import Path
 
 import jax
@@ -67,6 +68,7 @@ class BasePredictor:
         dataset_stats: str | None = None,
         t_bucket: int = 0,
         compute_dtype: str | None = None,
+        pad_h: bool = False,
     ):
         self.device = device
         # TPU extension (no reference counterpart): pad variable-length
@@ -77,6 +79,15 @@ class BasePredictor:
         # TPU extension: run the forward in bf16 (params/inputs cast inside
         # the jitted step; metrics on f32 denormalized outputs).
         self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
+        # TPU extension (``parallel: {pad_h: true}``): edge-extend the height
+        # axis of image/video arrays to the next multiple of spatial_parallel
+        # before the jitted step so indivisible DSB15-style heights still
+        # shard over the ``spatial`` axis; outputs AND targets are cropped
+        # back to the true height inside the step, so losses/metrics see only
+        # real rows.  Tradeoff: the edge-extended input rows perturb conv
+        # outputs within a receptive field of the bottom border vs the exact
+        # meshless result (tested tolerance in test_parallel.py).
+        self.pad_h = bool(pad_h)
         self.mesh = mesh
         self.test_dataloader = test_dataloader
         self.net = net
@@ -124,6 +135,33 @@ class BasePredictor:
         fixed-shape and never bucket."""
         return batch, None
 
+    def _pad_spatial(self, batch):
+        """pad_h: edge-extend the height axis of image/video arrays to the
+        next multiple of ``spatial_parallel`` so indivisible heights still
+        shard.  Returns (batch, true HR height or None); the step crops
+        outputs/targets back to the true height (see ``pad_h`` in __init__)."""
+        if not self.pad_h or self.mesh is None:
+            return batch, None
+        from ..parallel.mesh import SPATIAL_AXIS, _spatial_key
+
+        sp = self.mesh.shape.get(SPATIAL_AXIS, 1)
+        if sp <= 1:
+            return batch, None
+        true_h = int(np.asarray(self._targets(batch)).shape[-3])
+        new, padded = dict(batch), False
+        for k, v in batch.items():
+            arr = np.asarray(v)
+            if arr.ndim < 4 or not _spatial_key(k):
+                continue
+            h_axis = arr.ndim - 3
+            pad = -arr.shape[h_axis] % sp
+            if pad:
+                widths = [(0, 0)] * arr.ndim
+                widths[h_axis] = (0, pad)
+                new[k] = np.pad(arr, widths, mode="edge")
+                padded = True
+        return (new, true_h) if padded else (batch, None)
+
     def _metric_masks(self, name: str, spatial_shape) -> tuple:
         """Per-metric masks for Cardiac metrics (None elsewhere)."""
         masks = []
@@ -145,8 +183,8 @@ class BasePredictor:
         cdtype = self.compute_dtype
         mesh = self.mesh
 
-        @jax.jit
-        def step(params, state, batch, masks):
+        @partial(jax.jit, static_argnums=(4,))
+        def step(params, state, batch, masks, out_h):
             # ZeRO-3 gather on model-axis meshes (no-op otherwise)
             params = gather_for_compute(mesh, params)
             state = gather_for_compute(mesh, state)
@@ -162,6 +200,11 @@ class BasePredictor:
                 outputs = cast_floating(outputs, jnp.float32)
             out = self._select_output(outputs)
             target = self._targets(batch)
+            if out_h is not None:
+                # pad_h: drop the edge-extended rows BEFORE losses/metrics —
+                # the padded target rows crop back to exactly the original
+                out = out[..., :out_h, :, :]
+                target = target[..., :out_h, :, :]
             losses = self._frame_losses(out, target)  # (T, n_loss) or (1, n_loss)
             total = jnp.sum(jnp.mean(losses, axis=0) * weights)
             out_d, tgt_d = self._denorm(out), self._denorm(target)
@@ -227,11 +270,13 @@ class BasePredictor:
             index = int(batch["index"][0])
             patient, sid, filename = self._item_meta(index)
             batch, true_T = self._bucket_batch(batch)
+            # masks/meta use the TRUE target shape; padding happens after
+            true_shape = np.asarray(self._targets(batch)).shape
+            masks = self._metric_masks(patient, true_shape[-3:-1])
+            batch, out_h = self._pad_spatial(batch)
             device_batch = shard_batch(self.mesh, batch)
-            target = self._targets(batch)
-            masks = self._metric_masks(patient, target.shape[-3:-1])
             total, losses, metrics, out_d = self._step(
-                self.params, self.model_state, device_batch, masks
+                self.params, self.model_state, device_batch, masks, out_h
             )
             # slice padded frames back off (no-op when true_T is None)
             losses = np.asarray(losses)[:true_T]

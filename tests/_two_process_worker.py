@@ -1,14 +1,17 @@
-"""Worker for the two-process distributed CPU test (multi-host plan,
+"""Worker for the multi-process distributed CPU tests (multi-host plan,
 SURVEY.md §2.8).
 
-Runs ONE data-parallel train step of a tiny RefineNet over an 8-device
-``data`` mesh and prints ``LOSS <value>``:
+Runs ONE train step of a tiny RefineNet over an 8-device mesh and prints
+``LOSS <value>``:
 
 * ``--single``: one process owning all 8 (virtual CPU) devices — the ground
   truth numbers.
-* ``--pid N --port P``: one of two coordinated processes, 4 local CPU
-  devices each, global arrays assembled with
-  ``jax.make_array_from_process_local_data``.
+* ``--pid N --port P [--num-procs K] [--spatial S]``: one of K coordinated
+  processes, 8/K local CPU devices each, global arrays assembled with
+  ``jax.make_array_from_process_local_data``.  ``--spatial`` adds a
+  ``spatial`` mesh axis (dp x sp), so with K=4 / S=2 each process owns one
+  data-mesh row whose two spatial columns are its two local devices — the
+  process-SPANNING axis layout a two-process pair cannot exercise.
 
 The losses must agree exactly: the global SPMD program is identical; only
 process ownership of the shards differs.
@@ -47,23 +50,25 @@ def main():
     parser.add_argument("--single", action="store_true")
     parser.add_argument("--pid", type=int, default=0)
     parser.add_argument("--port", type=int, default=0)
+    parser.add_argument("--num-procs", type=int, default=2)
+    parser.add_argument("--spatial", type=int, default=1)
     parser.add_argument("--ckpt-dir", default=None)
     args = parser.parse_args()
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 8 if args.single else 4)
+    jax.config.update("jax_num_cpu_devices", 8 if args.single else 8 // args.num_procs)
 
     from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parallel import (
         distributed,
     )
 
     if not args.single:
-        ok = distributed.initialize(f"localhost:{args.port}", 2, args.pid)
+        ok = distributed.initialize(f"localhost:{args.port}", args.num_procs, args.pid)
         assert ok, "jax.distributed.initialize did not produce a multi-process runtime"
-        assert jax.process_count() == 2
-        assert len(jax.devices()) == 8  # global view spans both processes
+        assert jax.process_count() == args.num_procs
+        assert len(jax.devices()) == 8  # global view spans all processes
 
     import jax.numpy as jnp
     import numpy as np
@@ -74,23 +79,31 @@ def main():
         RefineNet,
     )
     from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parallel.mesh import (
-        batch_sharding,
         make_mesh,
+        video_spec,
     )
 
-    mesh = make_mesh()
-    shard = batch_sharding(mesh)
+    mesh = make_mesh(spatial_parallel=args.spatial)
     repl = NamedSharding(mesh, P())
+
+    def array_sharding(a):
+        # batch over ``data``; height of rank>=4 video arrays additionally
+        # over ``spatial`` when the mesh has that axis (HW here divides sp)
+        return NamedSharding(mesh, video_spec(mesh, a.ndim))
 
     lr, pos, hr = _global_inputs()
     if args.single:
-        lr_g, pos_g, hr_g = (jax.device_put(a, shard) for a in (lr, pos, hr))
+        lr_g, pos_g, hr_g = (jax.device_put(a, array_sharding(a)) for a in (lr, pos, hr))
     else:
         local, off = distributed.process_local_batch_slice(GLOBAL_BATCH)
 
         def globalize(a):
+            # each process owns whole data-mesh rows (its local devices fill
+            # the spatial columns), so its local block is its batch rows at
+            # FULL height — contiguous, exactly what make_array_from_
+            # process_local_data expects
             return jax.make_array_from_process_local_data(
-                shard, a[off : off + local], a.shape
+                array_sharding(a), a[off : off + local], a.shape
             )
 
         lr_g, pos_g, hr_g = globalize(lr), globalize(pos), globalize(hr)

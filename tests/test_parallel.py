@@ -396,6 +396,73 @@ def test_two_process_distributed_cpu_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_four_process_dp_sp_mesh_matches_single_process():
+    """4 coordinated processes x 2 local CPU devices run a (data=4, spatial=2)
+    mesh — the data axis SPANS processes while each process's two local
+    devices hold the spatial columns, a layout the two-process pair cannot
+    exercise — and the train-step losses must match one process owning all 8
+    devices (tests/_two_process_worker.py --num-procs 4 --spatial 2)."""
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    worker = str(Path(__file__).parent / "_two_process_worker.py")
+    worker_env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_FLAGS")}
+
+    def losses(out, err, who):
+        m = re.search(r"LOSS ([\d.]+) ([\d.]+)", out)
+        assert m, f"{who}: no LOSS line\nstdout={out[-500:]}\nstderr={err[-1500:]}"
+        return float(m[1]), float(m[2])
+
+    single = subprocess.run(
+        [sys.executable, worker, "--single", "--spatial", "2"],
+        capture_output=True, text=True, timeout=240, env=worker_env,
+    )
+    assert single.returncode == 0, single.stderr[-1500:]
+    want = losses(single.stdout, single.stderr, "single")
+
+    def launch():
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, "--pid", str(i), "--port", str(port),
+                 "--num-procs", "4", "--spatial", "2"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=worker_env,
+            )
+            for i in range(4)
+        ]
+        try:
+            return procs, [p.communicate(timeout=240) for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.communicate(timeout=60)
+            raise
+
+    procs, outs = launch()
+    stderr = "\n".join(e for _, e in outs)
+    if any(p.returncode for p in procs) and (
+        "address already in use" in stderr.lower() or "failed to bind" in stderr.lower()
+    ):
+        procs, outs = launch()
+        stderr = "\n".join(e for _, e in outs)
+    if any(p.returncode for p in procs):
+        forbidden = "must be called before any JAX calls" in stderr or (
+            "UNAVAILABLE" in stderr and "coordination" in stderr.lower()
+        )
+        assert forbidden, f"four-process run failed:\n{stderr[-2000:]}"
+        pytest.skip(f"runtime forbids jax.distributed on CPU: {stderr[-300:]}")
+    for i, (out, err) in enumerate(outs):
+        np.testing.assert_allclose(losses(out, err, f"pid {i}"), want, rtol=2e-6)
+
+
+@pytest.mark.slow
 def test_predictor_spatial_mesh_matches_meshless(tmp_path):
     """Config-driven prediction over a dp x sp mesh == the meshless run.
 
@@ -471,6 +538,95 @@ def test_predictor_spatial_mesh_matches_meshless(tmp_path):
     assert sp.mesh is not None and sp.mesh.shape[SPATIAL_AXIS] == 4
     for key in ("PSNR", "SSIM", "Loss"):
         assert float(sp.log[key]) == pytest.approx(float(base.log[key]), rel=1e-5), key
+
+
+def test_predictor_pad_h_shards_indivisible_heights(tmp_path):
+    """parallel: {pad_h: true} — an LR height that does NOT divide
+    spatial_parallel (11 rows over sp=4) is edge-extended before the jitted
+    step instead of silently replicating (the _warn_once downgrade), and
+    outputs/targets are cropped back so losses/metrics see only real rows.
+
+    Tolerance: edge-extension replaces the meshless zero-padding at the
+    bottom conv border, so rows within a receptive field of the border
+    legitimately differ; scores must still agree closely."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures import make_acdc_tree
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import Cfg
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main import (
+        test_from_config,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parallel import (
+        mesh as mesh_mod,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner import (
+        checkpoint as ckpt_io,
+    )
+
+    # LR height 44/4 = 11: indivisible by spatial_parallel=4
+    tree = make_acdc_tree(tmp_path / "acdc", frames=8, hr_size=(44, 44))
+    net_kwargs = dict(
+        in_channels=1, out_channels=1, num_features=[4, 4], upscale_factor=4,
+        num_stages=1, update_memory=True, num_updated_frames=2,
+        refine_window_size=5, positional_encoding=True,
+    )
+    model = RefineNet(**net_kwargs)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 7, 8, 8, 1)), jnp.zeros((1, 7, 1))
+    )["params"]
+    ckpt_path = tmp_path / "model.pth"
+    ckpt_io.save_checkpoint(ckpt_path, params=params)
+
+    def run(saved_dir, parallel):
+        cfg = Cfg(
+            {
+                "main": {"saved_dir": str(saved_dir), "loaded_path": str(ckpt_path)},
+                **({"parallel": parallel} if parallel else {}),
+                "dataset": {
+                    "name": "AcdcVSRRefineNetDataset",
+                    "kwargs": {
+                        "data_dir": str(tree["videos_dir"]),
+                        "downscale_factor": 4,
+                        "pos_code_path": str(tree["pos_code_path"]),
+                        "transforms": [
+                            {"name": "Normalize",
+                             "kwargs": {"means": [54.089], "stds": [48.084]}},
+                            {"name": "ToTensor"},
+                        ],
+                        "num_frames": 5,
+                        "num_updated_frames": 2,
+                    },
+                },
+                "dataloader": {
+                    "name": "Dataloader",
+                    "kwargs": {"batch_size": 1, "shuffle": False, "num_workers": 0},
+                },
+                "net": {"name": "RefineNet", "kwargs": net_kwargs},
+                "losses": [{"name": "L1Loss", "weight": 1.0}],
+                "metrics": [{"name": "PSNR"}, {"name": "SSIM"}],
+                "predictor": {
+                    "name": "AcdcVSRRefineNetPredictor",
+                    "kwargs": {"device": "cpu", "saved_dir": str(saved_dir),
+                               "exported": False},
+                },
+            }
+        )
+        return test_from_config(cfg)
+
+    base = run(tmp_path / "meshless", None)
+    mesh_mod._WARNED.clear()
+    sp = run(
+        tmp_path / "padded",
+        {"num_devices": 8, "spatial_parallel": 4, "pad_h": True},
+    )
+    assert sp.pad_h and sp.mesh.shape[SPATIAL_AXIS] == 4
+    # padded LR heights shard — the replicate-downgrade warning never fires
+    assert not any(k[0] == "spatial" for k in mesh_mod._WARNED), mesh_mod._WARNED
+    assert abs(float(sp.log["PSNR"]) - float(base.log["PSNR"])) < 0.2
+    assert abs(float(sp.log["SSIM"]) - float(base.log["SSIM"])) < 0.01
+    assert float(sp.log["Loss"]) == pytest.approx(float(base.log["Loss"]), rel=0.05)
 
 
 def test_make_mesh_rejects_oversubscription():
