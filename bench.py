@@ -283,11 +283,11 @@ def main():
             train = {"error": str(e)[:200]}
     else:
         train = {
-            "steps_per_sec": 3.5,
+            "steps_per_sec": 3.45,
             "batch": 16,
             "note": "cached measurement; set EVSR_BENCH_TRAIN=1 to remeasure",
-            "measured_at_commit": "636f152 (round 2 HEAD; 3.45 measured, "
-            "3.45-3.6 across runs, fetch-amortized protocol)",
+            "measured_at_commit": "1a2b300 (round 3; 3.451 measured fresh, "
+            "3.45-3.6 across rounds 2-3, fetch-amortized protocol)",
         }
     baseline = bench_torch_reference()
     fps = headline["frames_per_sec"]

@@ -114,6 +114,11 @@ class FRVSRNet(nn.Module):
     upscale_factor: int
     is_prediction: bool = False
     num_resblocks: int = 10
+    #: TPU extension: bound |flow| to R px and use the gather-free windowed
+    #: STN warp (measured ~16x faster per warp than the gather on chip;
+    #: exact while true flows stay within R — ops/warp.py).  None = exact
+    #: unbounded reference semantics.
+    max_flow: int | None = None
 
     def __post_init__(self):
         super().__post_init__()
@@ -133,7 +138,8 @@ class FRVSRNet(nn.Module):
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
-        )(self.in_channels, self.out_channels, r, self.num_resblocks, name="steps")
+        )(self.in_channels, self.out_channels, r, self.num_resblocks,
+          self.max_flow, name="steps")
         carry = (
             lr_imgs[:, 0],
             jnp.zeros((B, h * r, w * r, C), lr_imgs.dtype),
@@ -152,6 +158,7 @@ class _FRVSRStep(nn.Module):
     out_channels: int
     upscale_factor: int
     num_resblocks: int
+    max_flow: int | None = None
 
     @nn.compact
     def __call__(self, carry, x):
@@ -162,9 +169,11 @@ class _FRVSRStep(nn.Module):
         lr_flow = fnet(lr_last, x)
         sr_flow = upsample_bilinear(lr_flow, r, align_corners=True)
         warped_sr = stn_warp(
-            jax.lax.stop_gradient(sr_last), sr_flow[..., 0], sr_flow[..., 1], "border"
+            jax.lax.stop_gradient(sr_last), sr_flow[..., 0], sr_flow[..., 1],
+            "border", max_flow=self.max_flow,
         )
         packed = space_to_depth(warped_sr, r)
         sr = srnet(jnp.concatenate([packed, x], axis=-1))
-        warped_lr = stn_warp(lr_last, lr_flow[..., 0], lr_flow[..., 1], "border")
+        warped_lr = stn_warp(lr_last, lr_flow[..., 0], lr_flow[..., 1], "border",
+                             max_flow=self.max_flow)
         return (x, sr), (sr, warped_lr)

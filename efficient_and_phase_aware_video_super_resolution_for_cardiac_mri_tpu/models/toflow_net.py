@@ -37,6 +37,7 @@ class SpyNet(nn.Module):
     """Coarse-to-fine pyramid flow (reference ``toflow_net.py:70-92``)."""
 
     in_channels: int
+    max_flow: int | None = None  # gather-free windowed warps (ops/warp.py)
 
     @nn.compact
     def __call__(self, ref, nbr, train: bool = False):
@@ -50,7 +51,7 @@ class SpyNet(nn.Module):
             h, w = flow.shape[1] * 2, flow.shape[2] * 2
             flow_up = resize_bilinear(flow, (h, w), align_corners=True) * 2.0
             feats = jnp.concatenate(
-                [refs[i], flow_warp(nbrs[i], flow_up), flow_up], axis=-1
+                [refs[i], flow_warp(nbrs[i], flow_up, max_flow=self.max_flow), flow_up], axis=-1
             )
             flow = flow_up + SpyNetBlock(self.in_channels, name=f"block{i}")(feats, train)
         return flow
@@ -87,6 +88,11 @@ class TOFlowNet(nn.Module):
     out_channels: int
     num_frames: int
     upscale_factor: int
+    #: TPU extension: bound |flow| to R px and use the gather-free windowed
+    #: warp everywhere (measured ~16x faster than the gather per warp on
+    #: chip; exact while true flows stay within R — ops/warp.py).  None =
+    #: exact unbounded reference semantics.
+    max_flow: int | None = None
 
     @nn.compact
     def __call__(self, lr_imgs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -96,7 +102,7 @@ class TOFlowNet(nn.Module):
         x, crops = _pad_to_multiple(x, 16, axes=(-3, -2))
         x_ref = x[:, ref_idx]
 
-        spy = SpyNet(2 * self.in_channels + 2, name="spy_net")
+        spy = SpyNet(2 * self.in_channels + 2, max_flow=self.max_flow, name="spy_net")
         warped = []
         for i in range(T):
             if i == ref_idx:
@@ -104,7 +110,7 @@ class TOFlowNet(nn.Module):
             else:
                 nbr = x[:, i]
                 flow = spy(x_ref, nbr, train)
-                warped.append(flow_warp(nbr, flow))
+                warped.append(flow_warp(nbr, flow, max_flow=self.max_flow))
         # frame-major channel concat == the reference's view(B, T*C, H, W)
         fused = jnp.concatenate(warped, axis=-1)
 

@@ -13,8 +13,18 @@ replicated exactly:
   border padding.
 
 Implementation: gather the 4 bilinear neighbors with clipped indices and
-mask out-of-bounds taps for zeros padding.  Gathers are not MXU work, but
-warping is a tiny fraction of these nets' FLOPs.
+mask out-of-bounds taps for zeros padding.
+
+Measured on-chip (perf_probe --probes warp, round 3): the bilinear GATHER
+runs ~16x slower than a dense 3x3 conv over the same tensor — the same
+XLA/TPU dynamic-gather bound the DCN hit (PERF_NOTES 'Deformable conv').
+Both warps therefore also ship the gather-free windowed shift-and-weight
+path (``max_flow=R``): the sample is a sum over a static displacement window
+of statically-shifted maps (pad+slice) times closed-form corner weights —
+EXACT whenever every displacement magnitude is <= R (out-of-window samples
+contribute zero), opt-in per net (``TOFlowNet(max_flow=...)``,
+``FRVSRNet(max_flow=...)``) to preserve unbounded reference semantics by
+default.
 """
 from __future__ import annotations
 
@@ -78,8 +88,66 @@ def grid_sample(
     return out.astype(x.dtype)
 
 
-def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "zeros") -> jnp.ndarray:
-    """TOFlow-style warp: x (B, H, W, C), flow (B, H, W, 2) in pixels."""
+def _corner_weights(o: jnp.ndarray, d: int) -> jnp.ndarray:
+    """(1−frac)·[d==floor(o)] + frac·[d==floor(o)+1]: nonzero exactly at the
+    two bilinear corners; gradients flow through frac only — the bilinear
+    derivative (same construction as ops/deform_conv.py)."""
+    fl = jnp.floor(o)
+    frac = o - fl
+    return jnp.where(d == fl, 1.0 - frac, 0.0) + jnp.where(d == fl + 1, frac, 0.0)
+
+
+def windowed_sample(
+    x: jnp.ndarray,
+    off_y: jnp.ndarray,
+    off_x: jnp.ndarray,
+    max_flow: int,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Gather-free bilinear sample at (pixel + offset) displacements.
+
+    x (B, H, W, C); off_y/off_x (B, H, W) pixel displacements from the output
+    pixel.  Sum over the static window d ∈ [−R, R]² of statically-shifted
+    maps (one pad + slices — pure shifts, no gather) times the closed-form
+    corner weights.  EQUALS the gather bilinear whenever |off| <= R on both
+    axes (the corner floor(o)+1 exceeds R only with zero weight); samples
+    with any |off| > R contribute ZERO in 'zeros' mode and likewise drop in
+    'border' mode — the one documented divergence, mirroring
+    ``deform_conv2d_windowed``'s contract.
+    """
+    B, H, W, C = x.shape
+    R = int(max_flow)
+    oy = off_y.astype(jnp.float32)
+    ox = off_x.astype(jnp.float32)
+    # 'zeros': zero padding makes out-of-image corners contribute 0, exactly
+    # like the gather path's per-corner masks; 'border': edge padding equals
+    # the clamped read for shifts within R
+    mode = "edge" if padding_mode == "border" else "constant"
+    xp = jnp.pad(x, ((0, 0), (R, R), (R, R), (0, 0)), mode=mode)
+    acc = None
+    for dy in range(-R, R + 1):
+        wy = _corner_weights(oy, dy)
+        row = xp[:, R + dy : R + dy + H]
+        for dx in range(-R, R + 1):
+            wgt = (wy * _corner_weights(ox, dx)).astype(x.dtype)[..., None]
+            term = row[:, :, R + dx : R + dx + W] * wgt
+            acc = term if acc is None else acc + term
+    return acc
+
+
+def flow_warp(
+    x: jnp.ndarray,
+    flow: jnp.ndarray,
+    padding_mode: str = "zeros",
+    max_flow: int | None = None,
+) -> jnp.ndarray:
+    """TOFlow-style warp: x (B, H, W, C), flow (B, H, W, 2) in pixels.
+
+    ``max_flow=R`` switches to the windowed gather-free path (exact for
+    |effective flow| <= R; see module docstring).  The reference's quirky
+    (size−1)-normalize / align_corners=False-sample chain scales the flow by
+    (size−1)/size and shifts it half a pixel — reproduced in both paths.
+    """
     B, H, W, _ = x.shape
     # f32 pixel coordinates (bf16 arange is wrong past 256 — see grid_sample)
     grid_x = jnp.arange(W, dtype=jnp.float32)[None, None, :]
@@ -90,18 +158,39 @@ def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "zeros") ->
     # reference's exact (mismatched) chain, toflow_net.py:133-137
     gx = 2.0 * vx / max(W - 1, 1) - 1.0
     gy = 2.0 * vy / max(H - 1, 1) - 1.0
+    if max_flow is not None:
+        # unnormalize with the align_corners=False rule, as grid_sample would
+        sx = ((gx + 1.0) * W - 1.0) / 2.0
+        sy = ((gy + 1.0) * H - 1.0) / 2.0
+        return windowed_sample(
+            x, sy - grid_y, sx - grid_x, max_flow, padding_mode
+        )
     return grid_sample(x, jnp.stack([gx, gy], axis=-1), padding_mode, align_corners=False)
 
 
 def stn_warp(
-    x: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, padding_mode: str = "border"
+    x: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    padding_mode: str = "border",
+    max_flow: int | None = None,
 ) -> jnp.ndarray:
     """FRVSR STN warp: x (B, H, W, C); u, v (B, H, W) normalized-ish flow added
-    to a linspace(-1, 1) mesh (reference ``frvsr_net.py:209-226``)."""
+    to a linspace(-1, 1) mesh (reference ``frvsr_net.py:209-226``).
+
+    ``max_flow=R`` switches to the windowed gather-free path: the pixel
+    displacement (normalized flow · size/2, plus the small linspace-vs-
+    align_corners mesh offset) must stay within R for exactness."""
     B, H, W, _ = x.shape
     # f32 mesh: bf16 collapses adjacent linspace values at these sizes
     mesh_x = jnp.linspace(-1.0, 1.0, W, dtype=jnp.float32)[None, None, :]
     mesh_y = jnp.linspace(-1.0, 1.0, H, dtype=jnp.float32)[None, :, None]
     gx = mesh_x + u.astype(jnp.float32)
     gy = mesh_y + v.astype(jnp.float32)
+    if max_flow is not None:
+        sx = ((gx + 1.0) * W - 1.0) / 2.0
+        sy = ((gy + 1.0) * H - 1.0) / 2.0
+        grid_x = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+        grid_y = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+        return windowed_sample(x, sy - grid_y, sx - grid_x, max_flow, padding_mode)
     return grid_sample(x, jnp.stack([gx, gy], axis=-1), padding_mode, align_corners=False)

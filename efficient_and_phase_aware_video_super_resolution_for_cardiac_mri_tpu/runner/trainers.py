@@ -73,6 +73,7 @@ class BaseTrainer:
         dataset_stats: str | None = None,
         checkpoint_backend: str = "pickle",
         compute_dtype: str | None = None,
+        grad_accum_steps: int = 1,
     ):
         self.device = device
         self.mesh = mesh
@@ -93,6 +94,17 @@ class BaseTrainer:
         # loss scaling; PSNR impact measured at <0.2 gray levels -
         # PERF_NOTES.md round-1 probe).
         self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
+        # TPU extension (no reference counterpart): split each batch into N
+        # equal microbatches inside the jitted step (lax.scan) and average
+        # their gradients before ONE optimizer update.  Losses are per-item
+        # means, so the averaged gradient equals the full-batch gradient
+        # exactly; it exists because very large per-step graphs (e.g. the
+        # EDVR batch-16 backward) can exceed compiler limits that the
+        # batch-(16/N) graph does not (PERF_NOTES.md 'Deformable conv').
+        # Metrics are averaged over microbatches (nonlinear metrics like PSNR
+        # thereby average at microbatch granularity); BN batch_stats update
+        # sequentially per microbatch.
+        self.grad_accum_steps = max(1, int(grad_accum_steps))
         self.epoch = 1
         if dataset_stats:
             self.dataset_stats = dataset_stats
@@ -199,14 +211,68 @@ class BaseTrainer:
             total = jnp.sum(jnp.stack(losses) * weights)
             return total, (losses, outputs, new_state)
 
+        accum = self.grad_accum_steps
+
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, opt_state, state, batch):
-            (total, (losses, outputs, state)), grads = jax.value_and_grad(
-                forward_losses, has_aux=True
-            )(params, state, batch, True)
+            if accum <= 1:
+                (total, (losses, outputs, state)), grads = jax.value_and_grad(
+                    forward_losses, has_aux=True
+                )(params, state, batch, True)
+                metrics = self._compute_metrics(outputs, batch)
+            else:
+                # (B, ...) -> (A, B/A, ...): lax.scan over microbatches keeps
+                # the compiled graph at batch-B/A size while the averaged
+                # gradient equals the full-batch gradient (per-item-mean
+                # losses).  Grads/scalars accumulate in the carry — no A-fold
+                # stacking of gradients.
+                micro = jax.tree.map(
+                    lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+                    batch,
+                )
+                zero_grads = jax.tree.map(jnp.zeros_like, params)
+
+                def body(carry, mb):
+                    state, grads_acc, total_acc, losses_acc, metrics_acc = carry
+                    (total, (losses, outputs, state)), grads = jax.value_and_grad(
+                        forward_losses, has_aux=True
+                    )(params, state, mb, True)
+                    metrics = self._compute_metrics(outputs, mb)
+                    carry = (
+                        state,
+                        jax.tree.map(jnp.add, grads_acc, grads),
+                        total_acc + total,
+                        [a + l for a, l in zip(losses_acc, losses)],
+                        [a + m for a, m in zip(metrics_acc, metrics)],
+                    )
+                    return carry, self._display_outputs(outputs)
+
+                n_losses = len(self.loss_fns)
+                n_metrics = len(self.metric_fns)
+                carry0 = (
+                    state,
+                    zero_grads,
+                    jnp.zeros(()),
+                    [jnp.zeros(())] * n_losses,
+                    [jnp.zeros(())] * n_metrics,
+                )
+                (state, grads, total, losses, metrics), outs = jax.lax.scan(
+                    body, carry0, micro
+                )
+                inv = 1.0 / accum
+                grads = jax.tree.map(lambda g: g * inv, grads)
+                total = total * inv
+                losses = [l * inv for l in losses]
+                metrics = [m * inv for m in metrics]
+                # (A, B/A, ...) -> (B, ...): display outputs cover the FULL
+                # batch (the logger pairs them with the full host batch)
+                outputs = jax.tree.map(
+                    lambda o: o.reshape((-1,) + o.shape[2:]), outs
+                )
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            metrics = self._compute_metrics(outputs, batch)
+            if accum > 1:
+                return params, opt_state, state, total, losses, metrics, outputs
             return params, opt_state, state, total, losses, metrics, self._display_outputs(outputs)
 
         @jax.jit

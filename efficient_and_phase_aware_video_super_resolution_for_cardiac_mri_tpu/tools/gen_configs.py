@@ -294,7 +294,33 @@ def main(out: Path, data_root: str, models_root: str):
     edvr_tpu["net"]["kwargs"]["dcn_max_offset"] = 2
     edvr_tpu["predictor"]["kwargs"]["compute_dtype"] = "bfloat16"
     _dump(edvr_tpu, out / "test" / "edvr_net" / "exp1_x4_tpu.yaml")
-    count += 3
+    # EDVR TPU training showcase: the reference protocol (batch 16) with the
+    # windowed DCN + 2x8 gradient accumulation — the batch-16 backward graph
+    # exceeds the axon remote-compile helper's limits, the batch-8 graph
+    # scanned twice does not, and the averaged gradient is mathematically the
+    # full-batch gradient (trainers.grad_accum_steps; PERF_NOTES.md).
+    edvr_train_tpu = train_config("edvr_net", 4, data_root, models_root)
+    edvr_train_tpu["main"]["saved_dir"] = (
+        f"{models_root}/acdc/edvr_net/exp1_x4_tpu/train"
+    )
+    edvr_train_tpu["net"]["kwargs"]["dcn_max_offset"] = 2
+    edvr_train_tpu["trainer"]["kwargs"]["grad_accum_steps"] = 2
+    _dump(edvr_train_tpu, out / "train" / "edvr_net" / "exp1_x4_tpu.yaml")
+    # TOFlow / FRVSR TPU serving showcases: the gather-free windowed warps
+    # (max_flow=4 px) — the bilinear GATHER measured ~16x a dense conv on
+    # chip, and the windowed path is exact while true flows stay within 4 px
+    # (cardiac inter-frame motion; perf_probe --probes warp,toflow_full,
+    # frvsr_full: TOFlow 3.1x, FRVSR 5.4x full-net).  Remove max_flow for
+    # exact unbounded semantics.
+    for fam, speed in (("toflow_net", "3.1x"), ("frvsr_net", "5.4x")):
+        warp_tpu = test_config(fam, 4, data_root, models_root, suffix="_tpu")
+        warp_tpu["main"]["loaded_path"] = (
+            f"{models_root}/acdc/{fam}/exp1_x4/train/checkpoints/model_best.pth"
+        )
+        warp_tpu["net"]["kwargs"]["max_flow"] = 4
+        warp_tpu["predictor"]["kwargs"]["compute_dtype"] = "bfloat16"
+        _dump(warp_tpu, out / "test" / fam / "exp1_x4_tpu.yaml")
+    count += 6
     print(f"Wrote {count} configs under {out}.")
 
 

@@ -546,6 +546,212 @@ def probe_edvr_full(T, HW, dtype, iters, n_pipeline=16):
     }
 
 
+def probe_warp(T, HW, dtype, iters, factor=4):
+    """Isolated flow_warp / stn_warp at HR protocol scale vs a dense 3x3 conv
+    over the same tensor — is the bilinear gather the bound here, like it was
+    for the DCN (PERF_NOTES 'Deformable conv')?  Work amortized with in-graph
+    repeats (the warped frame feeds the next warp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.warp import flow_warp, stn_warp
+
+    HR = HW * factor
+    B = 6  # TOFlow's 6 warped neighbors per item
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, HR, HR, 1)), dtype)
+    flow = jnp.asarray(rng.standard_normal((B, HR, HR, 2)) * 5.0, dtype)
+    u = jnp.asarray(rng.standard_normal((B, HR, HR)) * 0.05, dtype)
+    w = jnp.asarray(rng.standard_normal((3, 3, 1, 1)) * 0.1, dtype)
+    reps = 20
+
+    @jax.jit
+    def warps(x, flow):
+        return _repeat(lambda c: flow_warp(c, flow), x, reps)
+
+    @jax.jit
+    def warps_win(x, flow):
+        return _repeat(lambda c: flow_warp(c, flow, max_flow=4), x, reps)
+
+    @jax.jit
+    def stn(x, u):
+        return _repeat(lambda c: stn_warp(c, u, u, "border"), x, reps)
+
+    @jax.jit
+    def stn_win(x, u):
+        return _repeat(lambda c: stn_warp(c, u, u, "border", max_flow=4), x, reps)
+
+    @jax.jit
+    def conv(x, w):
+        def body(c):
+            return jax.lax.conv_general_dilated(
+                c, w, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        return _repeat(body, x, reps)
+
+    sec_fw = _timeit(warps, iters, x, flow)
+    sec_fw_win = _timeit(warps_win, iters, x, flow)
+    sec_stn = _timeit(stn, iters, x, u)
+    sec_stn_win = _timeit(stn_win, iters, x, u)
+    sec_conv = _timeit(conv, iters, x, w)
+    return {
+        "sec": sec_fw,
+        "flow_warp_ms_per_call": sec_fw / reps / B * 1e3,
+        "flow_warp_windowed4_ms_per_call": sec_fw_win / reps / B * 1e3,
+        "stn_warp_ms_per_call": sec_stn / reps / B * 1e3,
+        "stn_warp_windowed4_ms_per_call": sec_stn_win / reps / B * 1e3,
+        "dense_conv3x3_ms_per_call": sec_conv / reps / B * 1e3,
+        "warp_vs_conv": sec_fw / sec_conv,
+        "windowed_speedup": sec_fw / sec_fw_win,
+        "shape": f"({B},{HR},{HR},1)",
+    }
+
+
+def _pipelined(f, v, x, iters, n_pipeline):
+    import jax.numpy as jnp
+
+    float(jnp.sum(f(v, x)))  # compile + warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        outs = [f(v, x) for _ in range(n_pipeline)]
+        float(sum(jnp.sum(o) for o in outs))
+        times.append((time.perf_counter() - t0) / n_pipeline)
+    return float(np.median(times))
+
+
+def probe_toflow_full(T, HW, dtype, iters, n_pipeline=16):
+    """Full TOFlowNet at the zoo config (num_frames=7), pipelined serving
+    rate — exact gather warps vs the windowed max_flow=4 path (same params)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import TOFlowNet
+
+    kwargs = dict(in_channels=1, out_channels=1, num_frames=7, upscale_factor=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 7, HW, HW, 1)), dtype)
+    model = TOFlowNet(**kwargs)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    v = jax.tree.map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, v
+    )
+    sec = _pipelined(jax.jit(lambda v, x: model.apply(v, x)), v, x, iters, n_pipeline)
+    win = TOFlowNet(**kwargs, max_flow=4)
+    sec_win = _pipelined(jax.jit(lambda v, x: win.apply(v, x)), v, x, iters, n_pipeline)
+    return {
+        "sec": sec_win,
+        "gather_ms_per_window": sec * 1e3,
+        "windowed4_ms_per_window": sec_win * 1e3,
+        "speedup": sec / sec_win,
+        "windowed_center_frames_per_sec": 1.0 / sec_win,
+        "gather_center_frames_per_sec": 1.0 / sec,
+    }
+
+
+def probe_frvsr_full(T, HW, dtype, iters, n_pipeline=8):
+    """Full FRVSRNet (zoo config, is_prediction) over a 30-frame cycle,
+    pipelined serving rate — exact vs windowed max_flow=4 (same params)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import FRVSRNet
+
+    kwargs = dict(in_channels=1, out_channels=1, upscale_factor=4,
+                  num_resblocks=10, is_prediction=True)
+    core = 30
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, core, HW, HW, 1)), dtype)
+    model = FRVSRNet(**kwargs)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    v = jax.tree.map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, v
+    )
+    sec = _pipelined(jax.jit(lambda v, x: model.apply(v, x)), v, x, iters, n_pipeline)
+    win = FRVSRNet(**kwargs, max_flow=4)
+    sec_win = _pipelined(jax.jit(lambda v, x: win.apply(v, x)), v, x, iters, n_pipeline)
+    return {
+        "sec": sec_win,
+        "gather_ms_per_clip": sec * 1e3,
+        "windowed4_ms_per_clip": sec_win * 1e3,
+        "speedup": sec / sec_win,
+        "windowed_frames_per_sec": core / sec_win,
+        "gather_frames_per_sec": core / sec,
+    }
+
+
+def probe_edvr_train(T, HW, dtype, iters, accum=2, batch=16, patch=32):
+    """EDVR training at the REFERENCE protocol (batch 16, 32x32 LR patches,
+    Charbonnier + Adam) via grad accumulation: the batch-16 backward graph
+    kills the axon remote-compile helper (HTTP 500), but a lax.scan over
+    ``accum`` microbatches of batch/accum compiles — and the averaged
+    gradient IS the full-batch gradient.  Windowed DCN R=2 (the training
+    showcase config).  Fetch-amortized chained steps."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models import EDVRNet
+
+    model = EDVRNet(in_channels=1, out_channels=1, nf=128, nframes=5,
+                    groups=8, front_RBs=5, back_RBs=40, dcn_max_offset=2)
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(rng.standard_normal((batch, 5, patch, patch, 1)), dtype)
+    hr = jnp.asarray(
+        rng.standard_normal((batch, patch * 4, patch * 4, 1)), dtype
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), lr[:1])["params"]
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
+    tx = optax.adam(4e-4)
+    opt_state = tx.init(params)
+    eps = 1e-6
+
+    def loss_fn(p, lr_mb, hr_mb):
+        out = model.apply({"params": p}, lr_mb)
+        return jnp.mean(jnp.sqrt(jnp.square(out - hr_mb) + eps))
+
+    @jax.jit
+    def step(p, s, lr_in, hr_in):
+        if accum <= 1:
+            loss, grads = jax.value_and_grad(loss_fn)(p, lr_in, hr_in)
+        else:
+            micro = lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+            def body(carry, mb):
+                g_acc, l_acc = carry
+                loss, grads = jax.value_and_grad(loss_fn)(p, mb[0], mb[1])
+                return (jax.tree.map(jnp.add, g_acc, grads), l_acc + loss), ()
+
+            (grads, loss), _ = jax.lax.scan(
+                body,
+                (jax.tree.map(jnp.zeros_like, p), jnp.zeros(())),
+                (micro(lr_in), micro(hr_in)),
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            loss = loss / accum
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    params, opt_state, loss = step(params, opt_state, lr, hr)
+    float(loss)  # compile barrier
+    params, opt_state, loss = step(params, opt_state, lr, hr)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, lr, hr)
+    float(loss)
+    sec = (time.perf_counter() - t0) / iters
+    return {
+        "sec": sec,
+        "steps_per_sec": 1.0 / sec,
+        "effective_batch": batch,
+        "grad_accum_steps": accum,
+        "protocol": f"batch {batch} = {accum}x{batch // max(accum,1)}, {patch}x{patch} LR, windowed DCN R=2",
+    }
+
+
 def probe_full(T, HW, dtype, iters):
     import jax
     import jax.numpy as jnp
@@ -582,7 +788,11 @@ PROBES = {
     "out": probe_out,
     "out_split": probe_out_split,
     "edvr_full": probe_edvr_full,
+    "edvr_train": probe_edvr_train,
     "train_split": probe_train_split,
+    "warp": probe_warp,
+    "toflow_full": probe_toflow_full,
+    "frvsr_full": probe_frvsr_full,
     "full": probe_full,
 }
 

@@ -174,6 +174,81 @@ def test_generated_tpu_extras_configs(tmp_path_factory, tree):
     assert committed["predictor"]["kwargs"]["t_bucket"] == 8
 
 
+@pytest.mark.parametrize("family", ["toflow_net", "frvsr_net"])
+def test_generated_warp_tpu_serving_configs(tmp_path_factory, tree, family):
+    """The TOFlow/FRVSR TPU serving showcases (exp1_x4_tpu): gather-free
+    windowed warps (max_flow=4) + bf16, evaluated through the real config
+    path on a checkpoint saved with exact (unbounded) warp semantics.
+    (Fresh-init checkpoint — the plain-config TRAINING path for these
+    families is already covered by test_generated_config_trains_and_tests.)"""
+    import jax
+    import jax.numpy as jnp
+    import yaml as _yaml
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import (
+        models as M,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner import (
+        checkpoint as ckpt_io,
+    )
+
+    out_dir = tmp_path_factory.mktemp(f"{family}_warp_tpu")
+    test_cfg = gen_configs.test_config(family, 4, "UNUSED", "UNUSED", suffix="_tpu")
+    test_cfg["net"]["kwargs"]["max_flow"] = 4
+    test_cfg["predictor"]["kwargs"]["compute_dtype"] = "bfloat16"
+    cfg = _patch(Cfg(test_cfg), tree, out_dir, family, "test")
+
+    # fresh-init checkpoint under the exact net (same params tree as windowed)
+    exact_kwargs = dict(cfg.net.kwargs.to_dict())
+    exact_kwargs.pop("max_flow")
+    net = getattr(M, cfg.net.name)(**exact_kwargs)
+    T = cfg.dataset.kwargs.get("num_frames", 3)
+    variables = jax.jit(net.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, T, 8, 8, 1), jnp.float32)
+    )
+    ckpt_dir = out_dir / "train" / "checkpoints"
+    ckpt_dir.mkdir(parents=True)
+    variables = dict(variables)
+    ckpt_io.save_checkpoint(
+        ckpt_dir / "model_best.pth",
+        params=variables.pop("params"),
+        model_state=variables,  # TOFlow's SpyNet carries batch_stats
+    )
+
+    predictor = run_test_config(cfg)
+    assert np.isfinite(predictor.log["Loss"])
+    assert predictor.log["PSNR"] > 0
+    assert predictor.net.max_flow == 4
+
+    with open(f"configs/test/{family}/exp1_x4_tpu.yaml") as f:
+        committed = _yaml.safe_load(f)
+    assert committed["net"]["kwargs"]["max_flow"] == 4
+    assert committed["predictor"]["kwargs"]["compute_dtype"] == "bfloat16"
+
+
+def test_generated_edvr_tpu_train_config(tmp_path_factory, tree):
+    """The EDVR TPU training showcase (exp1_x4_tpu): 2x gradient accumulation
+    through the real config path (the knob that keeps the batch-16 backward
+    under compiler graph limits).  The tiny CPU run keeps the gather DCN —
+    the windowed TRAIN graph compiles pathologically slowly on the CPU
+    backend (>25 min for even the tiny net) while its grads are already
+    parity-tested in test_deform_conv; the committed YAML (asserted below)
+    carries both knobs for the real chip."""
+    import yaml as _yaml
+
+    out_dir = tmp_path_factory.mktemp("edvr_train_tpu")
+    train_cfg = gen_configs.train_config("edvr_net", 4, "UNUSED", "UNUSED")
+    train_cfg["trainer"]["kwargs"]["grad_accum_steps"] = 2
+    trainer = train_from_config(_patch(Cfg(train_cfg), tree, out_dir, "edvr_net", "train"))
+    assert np.isfinite(trainer.monitor.best)
+    assert trainer.grad_accum_steps == 2
+
+    with open("configs/train/edvr_net/exp1_x4_tpu.yaml") as f:
+        committed = _yaml.safe_load(f)
+    assert committed["trainer"]["kwargs"]["grad_accum_steps"] == 2
+    assert committed["net"]["kwargs"]["dcn_max_offset"] == 2
+
+
 def test_generated_edvr_tpu_serving_config(tmp_path_factory, tree):
     """The EDVR TPU serving showcase (exp1_x4_tpu): the gather-free windowed
     DCN (dcn_max_offset) + bf16, evaluated through the real config path on a

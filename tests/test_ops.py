@@ -93,18 +93,102 @@ def test_perf_probe_smoke():
 
     results = perf_probe.main(
         ["--probes",
-         "null,conv_chain,conv_batched,lstm,refine,refine2d,refine_pad,dcn,out,out_split",
+         "null,conv_chain,conv_batched,lstm,refine,refine2d,refine_pad,dcn,out,out_split,warp",
          "--t", "6", "--hw", "8", "--iters", "1"]
     )
     assert set(results) == {"null", "conv_chain", "conv_batched", "lstm",
                             "refine", "refine2d", "refine_pad", "dcn", "out",
-                            "out_split"}
+                            "out_split", "warp"}
     for name, row in results.items():
         if name == "out_split":  # nested per-piece decomposition rows
             assert all(piece["sec"] > 0 for k, piece in row.items()
                        if k != "compile_plus_run_sec")
         else:
             assert row["sec"] > 0, name
+
+
+def test_windowed_warp_matches_gather():
+    """max_flow=R windowed warps == the gather path (forward AND gradients)
+    whenever |flow| <= R, including integer flows, zero flows, image borders
+    and both padding modes; out-of-window samples contribute zero (the
+    documented divergence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.ops.warp import (
+        flow_warp,
+        stn_warp,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, W = 2, 9, 11
+    x = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32)
+    R = 2
+    # fractional, integer, and zero flows, all within R (the (size-1)/size
+    # flow rescale in the quirky chain keeps |effective flow| < |flow|)
+    flows = [
+        rng.uniform(-R + 0.5, R - 0.5, (B, H, W, 2)).astype(np.float32),
+        np.round(rng.uniform(-R + 1, R - 1, (B, H, W, 2))).astype(np.float32),
+        np.zeros((B, H, W, 2), np.float32),
+    ]
+    for flow in flows:
+        flow = jnp.asarray(flow)
+        want = flow_warp(x, flow)
+        got = flow_warp(x, flow, max_flow=R)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+        def loss_gather(x, f):
+            return jnp.sum(jnp.sin(flow_warp(x, f)) * 0.3)
+
+        def loss_win(x, f):
+            return jnp.sum(jnp.sin(flow_warp(x, f, max_flow=R)) * 0.3)
+
+        gx_w, gf_w = jax.grad(loss_gather, argnums=(0, 1))(x, flow)
+        gx_g, gf_g = jax.grad(loss_win, argnums=(0, 1))(x, flow)
+        np.testing.assert_allclose(np.asarray(gx_g), np.asarray(gx_w), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gf_g), np.asarray(gf_w), atol=1e-5)
+
+    # stn (border padding): normalized flows small enough to stay in-window
+    u = jnp.asarray(rng.uniform(-0.05, 0.05, (B, H, W)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-0.05, 0.05, (B, H, W)).astype(np.float32))
+    want = stn_warp(x, u, v, "border")
+    got = stn_warp(x, u, v, "border", max_flow=R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # out-of-window flow: the windowed sample drops to zero, the gather keeps it
+    big = jnp.asarray(np.full((B, H, W, 2), R + 3, np.float32))
+    got_big = flow_warp(x, big, max_flow=R)
+    np.testing.assert_allclose(np.asarray(got_big), 0.0, atol=1e-6)
+
+
+def test_windowed_warp_nets_match_exact():
+    """TOFlowNet/FRVSRNet with max_flow set == exact nets while the learned
+    flows stay in-window (fresh init → near-zero flows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import (
+        models as M,
+    )
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 3, 16, 16, 1)), jnp.float32)
+    kwargs = dict(in_channels=1, out_channels=1, num_frames=3, upscale_factor=4)
+    exact = M.TOFlowNet(**kwargs)
+    v = jax.jit(exact.init)(jax.random.PRNGKey(0), x)
+    windowed = M.TOFlowNet(**kwargs, max_flow=4)
+    np.testing.assert_allclose(
+        np.asarray(windowed.apply(v, x)), np.asarray(exact.apply(v, x)), atol=1e-4
+    )
+
+    fr_kwargs = dict(in_channels=1, out_channels=1, upscale_factor=4,
+                     num_resblocks=1, is_prediction=True)
+    exact = M.FRVSRNet(**fr_kwargs)
+    v = jax.jit(exact.init)(jax.random.PRNGKey(1), x)
+    windowed = M.FRVSRNet(**fr_kwargs, max_flow=4)
+    np.testing.assert_allclose(
+        np.asarray(windowed.apply(v, x)), np.asarray(exact.apply(v, x)), atol=1e-4
+    )
 
 
 def test_flow_warp_bf16_coordinates_are_exact():

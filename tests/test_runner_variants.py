@@ -411,6 +411,49 @@ def test_log_weighting_uses_configured_batch_size():
     assert vsr._log_weight(batch, "training") == 2 * 19  # B x T(incl. warm-up)
 
 
+def test_grad_accum_matches_plain_step():
+    """grad_accum_steps=N: N microbatch gradients averaged inside one jitted
+    step == the full-batch gradient exactly (per-item-mean losses), so the
+    loss trajectory and final params must match the plain step.  This is the
+    knob that gets the EDVR batch-16 backward under compiler graph limits
+    (PERF_NOTES.md)."""
+    import jax
+
+    def run(accum):
+        net = nets.EDSRNet(
+            in_channels=1, out_channels=1, num_resblocks=2, num_features=8,
+            upscale_factor=4,
+        )
+        items = [
+            {
+                "lr_img": np.random.default_rng(i).standard_normal((8, 8, 1)).astype(np.float32),
+                "hr_img": np.random.default_rng(100 + i).standard_normal((32, 32, 1)).astype(np.float32),
+                "index": i,
+            }
+            for i in range(4)
+        ]
+        trainer = _make_trainer(
+            "AcdcSISRTrainer", net, items, num_epochs=2, grad_accum_steps=accum
+        )
+        logs = []
+        for _ in range(2):
+            log, _, outputs = trainer._run_epoch("training")
+            logs.append(log)
+        return logs, trainer.params, np.asarray(outputs)
+
+    logs1, params1, out1 = run(1)
+    logs2, params2, out2 = run(2)
+    for l1, l2 in zip(logs1, logs2):
+        assert l2["Loss"] == pytest.approx(l1["Loss"], rel=1e-5)
+        assert l2["PSNR"] == pytest.approx(l1["PSNR"], rel=1e-4)  # microbatch-mean PSNR
+    for a, b in zip(jax.tree.leaves(params1), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+    # display outputs are reassembled to the FULL batch (logger pairs them
+    # with the full host batch)
+    assert out2.shape == out1.shape
+    np.testing.assert_allclose(out2, out1, atol=1e-4, rtol=1e-4)
+
+
 def test_vsr_t_bucketing_wrap_math():
     """t_bucket pads the cycle circularly: core frames wrap mod T, the
     trailing warm-up margin is rebuilt to follow the extended core."""
