@@ -634,7 +634,9 @@ def probe_toflow_full(T, HW, dtype, iters, n_pipeline=16):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((1, 7, HW, HW, 1)), dtype)
     model = TOFlowNet(**kwargs)
-    v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    # init in f32 (the runner's contract): bf16 inputs at init would create
+    # f32 params against bf16 scan carries and fail the carry dtype check
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x.astype(jnp.float32))
     v = jax.tree.map(
         lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, v
     )
@@ -665,7 +667,8 @@ def probe_frvsr_full(T, HW, dtype, iters, n_pipeline=8):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((1, core, HW, HW, 1)), dtype)
     model = FRVSRNet(**kwargs)
-    v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    # init in f32 (see probe_toflow_full)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x.astype(jnp.float32))
     v = jax.tree.map(
         lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, v
     )

@@ -421,9 +421,9 @@ def test_t_bucketing_on_variable_length_patients(tmp_path_factory):
         orig(self)
         inner = self._step
 
-        def step(params, state, batch, masks):
+        def step(params, state, batch, masks, out_h):
             compiled_shapes.append(batch["lr_imgs"].shape)
-            return inner(params, state, batch, masks)
+            return inner(params, state, batch, masks, out_h)
 
         self._step = step
 
