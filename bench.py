@@ -282,12 +282,25 @@ def main():
         except Exception as e:  # keep the headline metric robust
             train = {"error": str(e)[:200]}
     else:
+        measured_at = "1a2b300"
+        try:
+            import subprocess
+
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:
+            head = None
         train = {
             "steps_per_sec": 3.45,
             "batch": 16,
             "note": "cached measurement; set EVSR_BENCH_TRAIN=1 to remeasure",
-            "measured_at_commit": "1a2b300 (round 3; 3.451 measured fresh, "
-            "3.45-3.6 across rounds 2-3, fetch-amortized protocol)",
+            "measured_at_commit": f"{measured_at} (round 3; 3.451 measured "
+            "fresh, 3.45-3.6 across rounds 2-3, fetch-amortized protocol)",
+            # honest-staleness flag: HEAD moved since the measurement, so a
+            # training-path regression after that commit would not show here
+            "stale": bool(head) and not head.startswith(measured_at),
         }
     baseline = bench_torch_reference()
     fps = headline["frames_per_sec"]

@@ -82,6 +82,12 @@ def main(argv=None):
         "becomes num_devices / spatial_parallel",
     )
     parser.add_argument("--net-kwargs", type=json.loads, default=None)
+    parser.add_argument(
+        "--pad-h", action="store_true",
+        help="edge-extend LR heights to the next multiple of spatial_parallel "
+        "so indivisible volumes still shard (SR output cropped back; same "
+        "border tradeoff as the predictor's parallel.pad_h)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -124,8 +130,16 @@ def main(argv=None):
             lr = np.stack([it["lr_imgs"] for it in items] + [items[-1]["lr_imgs"]] * pad)
             pos = np.stack([it["pos_code"] for it in items] + [items[-1]["pos_code"]] * pad)
             hr = np.stack([it["hr_imgs"] for it in items] + [items[-1]["hr_imgs"]] * pad)
+            true_hr_h = hr.shape[-3]
+            if args.pad_h and args.spatial_parallel > 1:
+                h_pad = -lr.shape[-3] % args.spatial_parallel
+                if h_pad:
+                    widths = [(0, 0)] * lr.ndim
+                    widths[-3] = (0, h_pad)
+                    lr = np.pad(lr, widths, mode="edge")
             batch = shard_batch(mesh, {"lr": lr, "pos": pos})
             out = np.asarray(forward(variables, batch["lr"], batch["pos"]))
+            out = out[..., :true_hr_h, :, :]  # crop pad_h rows (no-op unpadded)
             out_d = np.asarray(denormalize(out, "acdc"))
             hr_d = np.asarray(denormalize(hr, "acdc"))
             for b, idx in enumerate(chunk):

@@ -150,3 +150,45 @@ def test_batch_infer_on_mesh(tmp_path):
     )
     assert summary_sp["devices"] == 4  # data-parallel width
     assert summary_sp["mean_psnr"] == pytest.approx(summary["mean_psnr"], rel=1e-5)
+
+
+def test_batch_infer_pad_h_shards_indivisible_heights(tmp_path):
+    """--pad-h: LR heights indivisible by spatial_parallel (9 rows over 2)
+    are edge-extended before sharding and the SR output cropped back; scores
+    stay close to the unsharded run (border-row tradeoff only)."""
+    import json
+
+    import torch
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools import (
+        batch_infer,
+    )
+
+    # HR 36 -> LR 9: odd height, indivisible by spatial_parallel=2
+    tree = make_acdc_tree(tmp_path / "acdc", frames=8, hr_size=(36, 36),
+                          patients_per_split=1, slices=2)
+    net_kwargs = dict(
+        in_channels=1, out_channels=1, num_features=[6, 6], upscale_factor=4,
+        num_stages=1, update_memory=True, num_updated_frames=2,
+        refine_window_size=5, positional_encoding=True,
+    )
+    torch.manual_seed(2)
+    rn = load_reference_refine_net()
+    ref = rn.RefineNet(**net_kwargs)
+    ckpt = tmp_path / "model.pth"
+    torch.save({"net": ref.state_dict()}, ckpt)
+
+    base = batch_infer.main(
+        [str(ckpt), str(tree["videos_dir"]), str(tree["pos_code_path"]),
+         str(tmp_path / "base.csv"), "--num-devices", "8",
+         "--net-kwargs", json.dumps(net_kwargs)]
+    )
+    padded = batch_infer.main(
+        [str(ckpt), str(tree["videos_dir"]), str(tree["pos_code_path"]),
+         str(tmp_path / "padded.csv"), "--num-devices", "8",
+         "--spatial-parallel", "2", "--pad-h",
+         "--net-kwargs", json.dumps(net_kwargs)]
+    )
+    assert padded["devices"] == 4
+    assert padded["frames"] == base["frames"]
+    assert padded["mean_psnr"] == pytest.approx(base["mean_psnr"], abs=0.2)
