@@ -110,15 +110,20 @@ def windowed_sample(
     pixel.  Sum over the static window d ∈ [−R, R]² of statically-shifted
     maps (one pad + slices — pure shifts, no gather) times the closed-form
     corner weights.  EQUALS the gather bilinear whenever |off| <= R on both
-    axes (the corner floor(o)+1 exceeds R only with zero weight); samples
-    with any |off| > R contribute ZERO in 'zeros' mode and likewise drop in
-    'border' mode — the one documented divergence, mirroring
-    ``deform_conv2d_windowed``'s contract.
+    axes (the corner floor(o)+1 exceeds R only with zero weight).  Documented
+    divergence for |off| > R, mirroring ``deform_conv2d_windowed``'s
+    contract: 'zeros' mode drops the sample to zero; 'border' mode CLAMPS
+    the displacement to the window (a saturated warp — never a hole), which
+    also equals the gather exactly when the clamped position lands outside
+    the image (both read the border pixel).
     """
     B, H, W, C = x.shape
     R = int(max_flow)
     oy = off_y.astype(jnp.float32)
     ox = off_x.astype(jnp.float32)
+    if padding_mode == "border":
+        oy = jnp.clip(oy, -R, R)
+        ox = jnp.clip(ox, -R, R)
     # 'zeros': zero padding makes out-of-image corners contribute 0, exactly
     # like the gather path's per-corner masks; 'border': edge padding equals
     # the clamped read for shifts within R

@@ -155,17 +155,31 @@ def test_windowed_warp_matches_gather():
     got = stn_warp(x, u, v, "border", max_flow=R)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
-    # out-of-window flow: the windowed sample drops to zero, the gather keeps it
+    # out-of-window flow: 'zeros' mode drops the sample to zero...
     big = jnp.asarray(np.full((B, H, W, 2), R + 3, np.float32))
     got_big = flow_warp(x, big, max_flow=R)
     np.testing.assert_allclose(np.asarray(got_big), 0.0, atol=1e-6)
+    # ...while 'border' mode saturates: the displacement clamps to the
+    # window — a shifted read of real pixels, never a hole
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.ops.warp import (
+        windowed_sample,
+    )
+
+    off_big = jnp.full((B, H, W), R + 3.7, jnp.float32)
+    off_r = jnp.full((B, H, W), float(R), jnp.float32)
+    got_sat = windowed_sample(x, off_big, off_big, R, "border")
+    want_sat = windowed_sample(x, off_r, off_r, R, "border")
+    np.testing.assert_allclose(np.asarray(got_sat), np.asarray(want_sat), atol=1e-6)
+    assert float(jnp.max(jnp.abs(got_sat))) > 0.1  # real pixels, not zeros
 
 
 def test_windowed_warp_nets_match_exact():
     """TOFlowNet/FRVSRNet with max_flow set == exact nets while the learned
-    flows stay in-window (fresh init → near-zero flows)."""
+    flows stay in-window — checked at init AND after a few training steps on
+    the EXACT net (so the flow branches emit genuinely nonzero flows)."""
     import jax
     import jax.numpy as jnp
+    import optax
 
     from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import (
         models as M,
@@ -173,22 +187,50 @@ def test_windowed_warp_nets_match_exact():
 
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((1, 3, 16, 16, 1)), jnp.float32)
+
+    def trained_variables(model, variables, target_of):
+        """5 Adam steps on the exact net; returns updated variables."""
+        variables = dict(variables)
+        params, rest = variables.pop("params"), variables
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+        t = jnp.asarray(rng.standard_normal(target_of), jnp.float32)
+
+        @jax.jit
+        def step(p, s):
+            def loss(p):
+                out = model.apply({"params": p, **rest}, x)
+                out = out if not isinstance(out, (tuple, list)) else out[0]
+                return jnp.mean(jnp.abs(out - t))
+
+            val, g = jax.value_and_grad(loss)(p)
+            u, s = tx.update(g, s, p)
+            return optax.apply_updates(p, u), s
+
+        for _ in range(5):
+            params, opt = step(params, opt)
+        return {"params": params, **rest}
+
     kwargs = dict(in_channels=1, out_channels=1, num_frames=3, upscale_factor=4)
     exact = M.TOFlowNet(**kwargs)
-    v = jax.jit(exact.init)(jax.random.PRNGKey(0), x)
     windowed = M.TOFlowNet(**kwargs, max_flow=4)
-    np.testing.assert_allclose(
-        np.asarray(windowed.apply(v, x)), np.asarray(exact.apply(v, x)), atol=1e-4
-    )
+    v = jax.jit(exact.init)(jax.random.PRNGKey(0), x)
+    for variables in (v, trained_variables(exact, v, (1, 64, 64, 1))):
+        np.testing.assert_allclose(
+            np.asarray(windowed.apply(variables, x)),
+            np.asarray(exact.apply(variables, x)), atol=1e-4,
+        )
 
     fr_kwargs = dict(in_channels=1, out_channels=1, upscale_factor=4,
                      num_resblocks=1, is_prediction=True)
     exact = M.FRVSRNet(**fr_kwargs)
-    v = jax.jit(exact.init)(jax.random.PRNGKey(1), x)
     windowed = M.FRVSRNet(**fr_kwargs, max_flow=4)
-    np.testing.assert_allclose(
-        np.asarray(windowed.apply(v, x)), np.asarray(exact.apply(v, x)), atol=1e-4
-    )
+    v = jax.jit(exact.init)(jax.random.PRNGKey(1), x)
+    for variables in (v, trained_variables(exact, v, (1, 3, 64, 64, 1))):
+        np.testing.assert_allclose(
+            np.asarray(windowed.apply(variables, x)),
+            np.asarray(exact.apply(variables, x)), atol=1e-4,
+        )
 
 
 def test_flow_warp_bf16_coordinates_are_exact():
