@@ -9,6 +9,17 @@ import os
 import re
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compilation cache: measured 2x on repeat suite runs (cold 163 s
+# -> warm 82 s on test_model_zoo.py; CPU-backend executables hit it fine —
+# only the big scan-heavy TPU graph doesn't, PERF_NOTES round 1).  Keyed by
+# backend+flags, so correctness is jax's problem, not ours; delete the dir to
+# force cold compiles.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), ".cache", "jax"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" in xla_flags:
     # OVERRIDE a leftover count (e.g. =1 from debugging): keeping it would
@@ -26,3 +37,10 @@ else:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# explicit config update too: if another plugin imported jax before this
+# conftest ran, the env vars above were read too late
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -605,7 +605,15 @@ def test_predictor_pad_h_shards_indivisible_heights(tmp_path):
                 },
                 "net": {"name": "RefineNet", "kwargs": net_kwargs},
                 "losses": [{"name": "L1Loss", "weight": 1.0}],
-                "metrics": [{"name": "PSNR"}, {"name": "SSIM"}],
+                # Cardiac metrics included: their bbox masks are built from
+                # the TRUE target shape and must line up with the in-step
+                # cropped outputs
+                "metrics": [
+                    {"name": "PSNR"},
+                    {"name": "SSIM"},
+                    {"name": "CardiacPSNR",
+                     "kwargs": {"coordinates_path": str(tree["coordinates_path"])}},
+                ],
                 "predictor": {
                     "name": "AcdcVSRRefineNetPredictor",
                     "kwargs": {"device": "cpu", "saved_dir": str(saved_dir),
@@ -625,6 +633,7 @@ def test_predictor_pad_h_shards_indivisible_heights(tmp_path):
     # padded LR heights shard — the replicate-downgrade warning never fires
     assert not any(k[0] == "spatial" for k in mesh_mod._WARNED), mesh_mod._WARNED
     assert abs(float(sp.log["PSNR"]) - float(base.log["PSNR"])) < 0.2
+    assert abs(float(sp.log["CardiacPSNR"]) - float(base.log["CardiacPSNR"])) < 0.2
     assert abs(float(sp.log["SSIM"]) - float(base.log["SSIM"])) < 0.01
     assert float(sp.log["Loss"]) == pytest.approx(float(base.log["Loss"]), rel=0.05)
 
