@@ -565,8 +565,10 @@ def test_predictor_pad_h_shards_indivisible_heights(tmp_path):
         checkpoint as ckpt_io,
     )
 
-    # LR height 44/4 = 11: indivisible by spatial_parallel=4
-    tree = make_acdc_tree(tmp_path / "acdc", frames=8, hr_size=(44, 44))
+    # LR height 44/4 = 11: indivisible by spatial_parallel=4; 10 frames so
+    # the t_bucket=4 below actually pads the cycle (10 -> 12) — covering the
+    # t_bucket + pad_h interplay (bucket first, pad second, both cropped)
+    tree = make_acdc_tree(tmp_path / "acdc", frames=10, hr_size=(44, 44))
     net_kwargs = dict(
         in_channels=1, out_channels=1, num_features=[4, 4], upscale_factor=4,
         num_stages=1, update_memory=True, num_updated_frames=2,
@@ -617,7 +619,7 @@ def test_predictor_pad_h_shards_indivisible_heights(tmp_path):
                 "predictor": {
                     "name": "AcdcVSRRefineNetPredictor",
                     "kwargs": {"device": "cpu", "saved_dir": str(saved_dir),
-                               "exported": False},
+                               "exported": False, "t_bucket": 4},
                 },
             }
         )
