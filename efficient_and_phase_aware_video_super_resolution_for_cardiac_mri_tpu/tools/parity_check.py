@@ -215,7 +215,16 @@ def main(argv=None):
     variables = variables_from_torch_state_dict(net_name, state)
     model = getattr(M, net_name)(**net_kwargs)
 
-    ref = load_reference_model(args.reference, net_name, net_kwargs)
+    # TPU-extension kwargs (windowed warps/DCN) apply to OUR net only — the
+    # reference constructor has no such knobs.  Passing e.g.
+    # --net-kwargs '{..., "max_flow": 4}' therefore checks the WINDOWED
+    # variant against the exact reference: the 0.05 dB contract then
+    # empirically validates the bound on the given data.
+    ref_kwargs = {
+        k: v for k, v in net_kwargs.items()
+        if k not in ("max_flow", "dcn_max_offset")
+    }
+    ref = load_reference_model(args.reference, net_name, ref_kwargs)
     ref.load_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()}
         if not hasattr(next(iter(state.values())), "detach")

@@ -99,6 +99,40 @@ def test_parity_check_cli_other_nets(tmp_path, net_name, net_kwargs):
     assert summary["contract_0p05db"] is True, summary
 
 
+def test_parity_check_windowed_variants(tmp_path):
+    """TPU-extension kwargs (max_flow / dcn_max_offset) apply to OUR net only
+    — parity_check strips them for the reference constructor, so the CLI
+    empirically validates the windowed bound against the exact reference on
+    the given data (flows are in-window here, so the contract holds)."""
+    import json
+
+    import torch
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools import (
+        parity_check,
+    )
+
+    tree = make_acdc_tree(tmp_path / "acdc", frames=8, hr_size=(32, 32), patients_per_split=1)
+    net_kwargs = dict(in_channels=1, out_channels=1, num_frames=3, upscale_factor=4)
+    torch.manual_seed(3)
+    ref = parity_check.load_reference_model(
+        parity_check.Path("/root/reference"), "TOFlowNet", net_kwargs
+    )
+    ckpt = tmp_path / "model.pth"
+    torch.save({"net": ref.state_dict()}, ckpt)
+
+    summary = parity_check.main(
+        [
+            str(ckpt), str(tree["videos_dir"]),
+            "--net", "TOFlowNet",
+            "--max-items", "2",
+            "--net-kwargs", json.dumps({**net_kwargs, "max_flow": 4}),
+        ]
+    )
+    assert summary["net"] == "TOFlowNet"
+    assert summary["contract_0p05db"] is True, summary
+
+
 def test_batch_infer_on_mesh(tmp_path):
     """Mesh-batched inference over the 8 fake devices produces the same
     per-sequence scores as single-item evaluation."""
