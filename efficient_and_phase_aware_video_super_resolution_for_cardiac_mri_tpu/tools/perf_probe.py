@@ -755,6 +755,74 @@ def probe_edvr_train(T, HW, dtype, iters, accum=2, batch=16, patch=32):
     }
 
 
+def probe_zoo_serving(T, HW, dtype, iters, n_pipeline=16):
+    """Serving rate for the remaining zoo nets at their shipped configs
+    (gen_configs._families) — completes the per-net on-chip table.  SISR
+    nets serve one frame/item; MISR one center frame per 7-frame window;
+    DRF one whole sequence.  Pipelined protocol, one process."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import DRFNet, DUFNet, EDSRNet, RBPNet, SRFBNet
+
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.standard_normal((1, HW, HW, 1)), dtype)
+    window = jnp.asarray(rng.standard_normal((1, 7, HW, HW, 1)), dtype)
+    seq = jnp.asarray(rng.standard_normal((1, 30, HW, HW, 1)), dtype)
+    cases = {
+        "edsr": (EDSRNet(in_channels=1, out_channels=1, num_resblocks=32,
+                         num_features=256, upscale_factor=4, res_scale=0.1),
+                 frame, 1, lambda o: o),
+        "srfb": (SRFBNet(in_channels=1, out_channels=1, num_steps=4,
+                         num_features=32, num_groups=6, upscale_factor=4),
+                 frame, 1, lambda o: o[-1]),
+        "duf": (DUFNet(in_channels=1, out_channels=1, num_frames=7,
+                       size_filter=5, upscale_factor=4, backbone="_DenseLayer16"),
+                window, 1, lambda o: o),
+        "rbp": (RBPNet(in_channels=1, out_channels=1, base_filter=256, feat=64,
+                       num_stages=3, num_resblocks=5, num_frames=7,
+                       upscale_factor=4),
+                window, 1, lambda o: o),
+        "drf": (DRFNet(in_channels=1, out_channels=1, num_features=32,
+                       num_groups=6, upscale_factor=4),
+                seq, 30, lambda o: o),
+    }
+    import inspect
+
+    out = {"sec": 0.0}
+    for name, (model, x, frames, select) in cases.items():
+        kwargs = (
+            {"train": False}
+            if "train" in inspect.signature(type(model).__call__).parameters
+            else {}
+        )
+        try:
+            v = jax.jit(lambda xx: model.init(jax.random.PRNGKey(0), xx, **kwargs))(
+                x.astype(jnp.float32)
+            )
+            v = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, v,
+            )
+            f = jax.jit(lambda v, x: jnp.sum(select(model.apply(v, x, **kwargs))))
+            float(f(v, x))  # compile + warm
+            times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                chk = [f(v, x) for _ in range(n_pipeline)]
+                float(sum(chk))
+                times.append((time.perf_counter() - t0) / n_pipeline)
+            sec = float(np.median(times))
+            out[name] = {
+                "ms_per_item": round(sec * 1e3, 2),
+                "frames_per_sec": round(frames / sec, 1),
+            }
+            out["sec"] += sec
+        except Exception as e:  # keep the table even if one net trips
+            out[name] = {"error": str(e)[:200]}
+    return out
+
+
 def probe_full(T, HW, dtype, iters):
     import jax
     import jax.numpy as jnp
@@ -796,6 +864,7 @@ PROBES = {
     "warp": probe_warp,
     "toflow_full": probe_toflow_full,
     "frvsr_full": probe_frvsr_full,
+    "zoo_serving": probe_zoo_serving,
     "full": probe_full,
 }
 

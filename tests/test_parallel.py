@@ -215,11 +215,17 @@ def test_multi_axis_train_step_matches_single_device(mesh_kwargs):
 
 
 @pytest.mark.parametrize(
-    "parallel_section",
-    [{"num_devices": 8}, {"num_devices": 8, "model_parallel": 2}],
-    ids=["dp", "dp_tp"],
+    "parallel_section,trainer_extra",
+    [
+        ({"num_devices": 8}, {}),
+        ({"num_devices": 8, "model_parallel": 2}, {}),
+        # grad accumulation over a ZeRO-3 mesh: sharded gradients accumulate
+        # in the scan carry (zeros_like preserves the param shardings)
+        ({"num_devices": 8, "model_parallel": 2}, {"grad_accum_steps": 2}),
+    ],
+    ids=["dp", "dp_tp", "dp_tp_accum"],
 )
-def test_trainer_with_mesh_through_config(tmp_path, parallel_section):
+def test_trainer_with_mesh_through_config(tmp_path, parallel_section, trainer_extra):
     """The parallel: config section drives a sharded trainer end-to-end —
     pure data parallel, and ZeRO-3 (model_parallel: conv kernels + optimizer
     state stored sharded on out-features, checkpoint round-trip included)."""
@@ -276,11 +282,14 @@ def test_trainer_with_mesh_through_config(tmp_path, parallel_section):
             "monitor": {"name": "Monitor", "kwargs": {
                 "mode": "min", "target": "Loss", "saved_freq": 1, "early_stop": 0}},
             "trainer": {"name": "AcdcVSRRefineNetTrainer",
-                        "kwargs": {"device": "cpu", "num_epochs": 1}},
+                        "kwargs": {"device": "cpu", "num_epochs": 1,
+                                   **trainer_extra}},
         }
     )
     trainer = train_from_config(cfg)
     assert trainer.mesh is not None
+    if trainer_extra:
+        assert trainer.grad_accum_steps == 2
     leaf = jax.tree.leaves(trainer.params)[0]
     assert len(leaf.devices()) == 8  # every device holds (a shard of) params
     if "model_parallel" in parallel_section:
