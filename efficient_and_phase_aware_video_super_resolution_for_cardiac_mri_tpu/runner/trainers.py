@@ -226,6 +226,13 @@ class BaseTrainer:
                 # gradient equals the full-batch gradient (per-item-mean
                 # losses).  Grads/scalars accumulate in the carry — no A-fold
                 # stacking of gradients.
+                b = jax.tree.leaves(batch)[0].shape[0]
+                if b % accum:
+                    raise ValueError(
+                        f"grad_accum_steps={accum} must divide the batch "
+                        f"size; got batch {b}. Adjust train_batch_size or "
+                        "drop_last."
+                    )
                 micro = jax.tree.map(
                     lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
                     batch,

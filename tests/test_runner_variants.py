@@ -454,6 +454,19 @@ def test_grad_accum_matches_plain_step():
     np.testing.assert_allclose(out2, out1, atol=1e-4, rtol=1e-4)
 
 
+def test_grad_accum_rejects_indivisible_batch():
+    net = nets.EDSRNet(in_channels=1, out_channels=1, num_resblocks=1,
+                       num_features=4, upscale_factor=4)
+    items = [
+        {"lr_img": np.zeros((8, 8, 1), np.float32),
+         "hr_img": np.zeros((32, 32, 1), np.float32), "index": i}
+        for i in range(3)
+    ]
+    trainer = _make_trainer("AcdcSISRTrainer", net, items, grad_accum_steps=3)
+    with pytest.raises(ValueError, match="grad_accum_steps=3 must divide"):
+        trainer._run_epoch("training")  # batch_size 2, accum 3
+
+
 def test_vsr_t_bucketing_wrap_math():
     """t_bucket pads the cycle circularly: core frames wrap mod T, the
     trailing warm-up margin is rebuilt to follow the extended core."""
