@@ -53,6 +53,12 @@ def main():
     parser.add_argument("--num-procs", type=int, default=2)
     parser.add_argument("--spatial", type=int, default=1)
     parser.add_argument("--ckpt-dir", default=None)
+    parser.add_argument(
+        "--trainer", action="store_true",
+        help="drive the REAL BaseTrainer epoch engine (loader -> "
+        "shard_batch device_put with a process-spanning mesh -> jitted "
+        "donated step -> device-side log accumulation) instead of a raw step",
+    )
     args = parser.parse_args()
 
     import jax
@@ -69,6 +75,10 @@ def main():
         assert ok, "jax.distributed.initialize did not produce a multi-process runtime"
         assert jax.process_count() == args.num_procs
         assert len(jax.devices()) == 8  # global view spans all processes
+
+    if args.trainer:
+        _run_trainer_epoch(args)
+        return
 
     import jax.numpy as jnp
     import numpy as np
@@ -174,6 +184,66 @@ def main():
             np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
         assert loaded["epoch"] == 1
         print("CKPT_OK", flush=True)
+
+
+def _run_trainer_epoch(args):
+    """One REAL trainer epoch over the global mesh; prints ``LOSS <train>
+    <valid>``.  Every process runs the identical loader (same seed, shuffle
+    off), so shard_batch's device_put onto the process-spanning mesh sees the
+    same global batch everywhere — jax's multiprocess global-sharding
+    semantics distribute the shards."""
+    import jax
+    import numpy as np
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import (
+        losses as L,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.data.loader import (
+        Dataloader,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+        RefineNet,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.optim import (
+        Optimizer,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.trainers import (
+        VSRRefineNetTrainer,
+    )
+
+    lr, pos, hr = _global_inputs()
+    T = CORE_T + 2 * U
+
+    class _Ds:
+        def __len__(self):
+            return GLOBAL_BATCH
+
+        def __getitem__(self, i):
+            return {
+                "lr_imgs": lr[i],
+                "pos_code": pos[i],
+                "hr_imgs": hr[i],
+                "index": i,
+            }
+
+    loader = Dataloader(_Ds(), batch_size=GLOBAL_BATCH, shuffle=False)
+    trainer = VSRRefineNetTrainer(
+        device="cpu",
+        train_dataloader=loader,
+        valid_dataloader=loader,
+        net=RefineNet(**CFG),
+        loss_fns=[L.L1Loss()],
+        optimizer=Optimizer("Adam", lr=1e-3),
+        num_epochs=1,
+        mesh=make_mesh(spatial_parallel=args.spatial),
+        seed_state=None,
+    )
+    train_log, _, _ = trainer._run_epoch("training")
+    valid_log, _, _ = trainer._run_epoch("validation")
+    print(f"LOSS {train_log['Loss']:.8f} {valid_log['Loss']:.8f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -472,6 +472,72 @@ def test_four_process_dp_sp_mesh_matches_single_process():
 
 
 @pytest.mark.slow
+def test_two_process_trainer_epoch_matches_single_process():
+    """The REAL trainer epoch engine — loader, shard_batch's device_put onto
+    a process-spanning mesh, jitted donated step, device-side log
+    accumulation — run by two coordinated processes must log the same losses
+    as one process owning all 8 devices (_two_process_worker.py --trainer)."""
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    worker = str(Path(__file__).parent / "_two_process_worker.py")
+    worker_env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_FLAGS")}
+
+    def losses(out, err, who):
+        m = re.search(r"LOSS ([\d.]+) ([\d.]+)", out)
+        assert m, f"{who}: no LOSS line\nstdout={out[-500:]}\nstderr={err[-1500:]}"
+        return float(m[1]), float(m[2])
+
+    single = subprocess.run(
+        [sys.executable, worker, "--single", "--trainer"],
+        capture_output=True, text=True, timeout=240, env=worker_env,
+    )
+    assert single.returncode == 0, single.stderr[-1500:]
+    want = losses(single.stdout, single.stderr, "single")
+
+    def launch():
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, "--pid", str(i), "--port", str(port),
+                 "--trainer"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=worker_env,
+            )
+            for i in range(2)
+        ]
+        try:
+            return procs, [p.communicate(timeout=240) for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.communicate(timeout=60)
+            raise
+
+    procs, outs = launch()
+    stderr = "\n".join(e for _, e in outs)
+    if any(p.returncode for p in procs) and (
+        "address already in use" in stderr.lower() or "failed to bind" in stderr.lower()
+    ):
+        procs, outs = launch()
+        stderr = "\n".join(e for _, e in outs)
+    if any(p.returncode for p in procs):
+        forbidden = "must be called before any JAX calls" in stderr or (
+            "UNAVAILABLE" in stderr and "coordination" in stderr.lower()
+        )
+        assert forbidden, f"two-process trainer run failed:\n{stderr[-2000:]}"
+        pytest.skip(f"runtime forbids jax.distributed on CPU: {stderr[-300:]}")
+    for i, (out, err) in enumerate(outs):
+        np.testing.assert_allclose(losses(out, err, f"pid {i}"), want, rtol=2e-6)
+
+
+@pytest.mark.slow
 def test_predictor_spatial_mesh_matches_meshless(tmp_path):
     """Config-driven prediction over a dp x sp mesh == the meshless run.
 
