@@ -305,6 +305,8 @@ def main(out: Path, data_root: str, models_root: str):
     )
     edvr_train_tpu["net"]["kwargs"]["dcn_max_offset"] = 2
     edvr_train_tpu["trainer"]["kwargs"]["grad_accum_steps"] = 2
+    # bf16 compute (f32 masters/losses): 2.11 vs 1.48 steps/sec measured
+    edvr_train_tpu["trainer"]["kwargs"]["compute_dtype"] = "bfloat16"
     _dump(edvr_train_tpu, out / "train" / "edvr_net" / "exp1_x4_tpu.yaml")
     # TOFlow / FRVSR TPU serving showcases: the gather-free windowed warps
     # (max_flow=4 px) — the bilinear GATHER measured ~16x a dense conv on
