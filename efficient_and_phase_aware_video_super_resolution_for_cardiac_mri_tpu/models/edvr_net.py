@@ -293,6 +293,13 @@ class EDVRNet(nn.Module):
 
         pcd = PCDAlign(nf, self.groups, self.dcn_max_offset, name="pcd_align")
         ref_fea_l = [L1[:, center], L2[:, center], L3[:, center]]
+        # Deliberately a PER-NEIGHBOR loop (measured, round 3): folding the N
+        # neighbors into the batch axis — valid math, shared weights, no
+        # batch stats — made windowed serving ~15% SLOWER, the gather path
+        # 1.5x slower (bigger gathers), and the batch-16 training backward
+        # OOM (the windowed DCN temps at batch 8x5 blow HBM); the sequential
+        # loop keeps peak activation memory at 1/N and the per-PCD batch is
+        # already MXU-adequate at nf=128 (PERF_NOTES 'Batched PCD').
         aligned = jnp.stack(
             [pcd([L1[:, i], L2[:, i], L3[:, i]], ref_fea_l) for i in range(N)], axis=1
         )  # (B, N, H, W, nf)

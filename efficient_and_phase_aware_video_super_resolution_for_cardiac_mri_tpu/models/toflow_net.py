@@ -103,14 +103,39 @@ class TOFlowNet(nn.Module):
         x_ref = x[:, ref_idx]
 
         spy = SpyNet(2 * self.in_channels + 2, max_flow=self.max_flow, name="spy_net")
-        warped = []
-        for i in range(T):
-            if i == ref_idx:
-                warped.append(x_ref)
-            else:
-                nbr = x[:, i]
-                flow = spy(x_ref, nbr, train)
-                warped.append(flow_warp(nbr, flow, max_flow=self.max_flow))
+        if train:
+            # reference-exact training path: per-neighbor SpyNet calls so the
+            # BN batch statistics are computed per call, exactly like the
+            # reference's Python loop (toflow_net.py:47-56)
+            warped = []
+            for i in range(T):
+                if i == ref_idx:
+                    warped.append(x_ref)
+                else:
+                    nbr = x[:, i]
+                    flow = spy(x_ref, nbr, train)
+                    warped.append(flow_warp(nbr, flow, max_flow=self.max_flow))
+        else:
+            # eval/serving: ONE batched SpyNet + warp pass over all T-1
+            # neighbors — identical math (shared weights, independent items,
+            # BN uses frozen running stats) but one (T-1)x-bigger batch for
+            # the MXU instead of T-1 small dispatches
+            nbr_idx = [i for i in range(T) if i != ref_idx]
+            B = x.shape[0]
+            nbrs = x[:, nbr_idx]  # (B, T-1, H, W, C)
+            flat = nbrs.reshape((B * len(nbr_idx),) + nbrs.shape[2:])
+            ref_rep = jnp.repeat(x_ref, len(nbr_idx), axis=0)
+            flows = spy(ref_rep, flat, train)
+            warped_flat = flow_warp(flat, flows, max_flow=self.max_flow)
+            warped_nbrs = warped_flat.reshape(nbrs.shape)
+            warped = []
+            k = 0
+            for i in range(T):
+                if i == ref_idx:
+                    warped.append(x_ref)
+                else:
+                    warped.append(warped_nbrs[:, k])
+                    k += 1
         # frame-major channel concat == the reference's view(B, T*C, H, W)
         fused = jnp.concatenate(warped, axis=-1)
 
