@@ -158,11 +158,63 @@ class ConvTransposeTorch(nn.Module):
         return y
 
 
-def batch_norm(train: bool, name: str | None = None) -> nn.BatchNorm:
+class TorchBatchNorm(nn.Module):
+    """torch ``nn.BatchNorm{1,2,3}d`` with exact running-statistics semantics.
+
+    flax's ``nn.BatchNorm`` updates the running variance with the BIASED batch
+    variance; torch updates it with the UNBIASED one (Bessel factor n/(n−1),
+    ``torch.nn.modules.batchnorm`` docs) while still normalizing with the
+    biased variance in train mode.  The difference only surfaces in eval-mode
+    outputs AFTER training steps (the running stats drift apart by ~1/n per
+    step), which is why forward weight-import parity never caught it — the
+    training-dynamics A/B (``tests/test_train_dynamics_parity.py``) does.
+    Variable layout matches flax ``nn.BatchNorm`` (params: scale/bias,
+    batch_stats: mean/var), so torch imports, checkpoints, and partition
+    specs are unchanged.  Under GSPMD data parallelism the batch reduction
+    is global (jit-level sharding, not pmap), as before.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.1  # torch convention: new = (1−m)·old + m·batch
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        if self.use_running_average:
+            mean = ra_mean.value.astype(x.dtype)
+            var = ra_var.value.astype(x.dtype)
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes)
+            var = jnp.mean(jnp.square(x - mean), axes)  # biased: normalization
+            if not self.is_initializing():
+                n = x.size // features
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean.astype(
+                    ra_mean.value.dtype
+                )
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased.astype(
+                    ra_var.value.dtype
+                )
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+def batch_norm(train: bool, name: str | None = None) -> TorchBatchNorm:
     """torch ``nn.BatchNorm{2,3}d`` semantics: eps 1e-5, running-stat momentum
-    0.1 (flax momentum = 0.9), affine.  Stats live in the ``batch_stats``
-    collection; under GSPMD data parallelism the batch reduction is global."""
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)
+    0.1, affine, unbiased running-var update (see ``TorchBatchNorm``).  Stats
+    live in the ``batch_stats`` collection."""
+    return TorchBatchNorm(use_running_average=not train, name=name)
 
 
 #: torch ``nn.init.xavier_uniform_`` (gain 1) for conv kernels

@@ -28,6 +28,8 @@ default.
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 
@@ -187,9 +189,14 @@ def stn_warp(
     displacement (normalized flow · size/2, plus the small linspace-vs-
     align_corners mesh offset) must stay within R for exactness."""
     B, H, W, _ = x.shape
-    # f32 mesh: bf16 collapses adjacent linspace values at these sizes
-    mesh_x = jnp.linspace(-1.0, 1.0, W, dtype=jnp.float32)[None, None, :]
-    mesh_y = jnp.linspace(-1.0, 1.0, H, dtype=jnp.float32)[None, :, None]
+    # f32 mesh: bf16 collapses adjacent linspace values at these sizes.
+    # Host-built f64 linspace cast to f32 matches the reference's rounding
+    # bit-for-bit (np.linspace f64 mesh → torch.tensor(dtype=float32),
+    # frvsr_net.py:211-212); jnp.linspace's native-f32 evaluation is 1 ulp
+    # off, which the recurrent warp amplifies over training steps
+    # (tests/test_train_dynamics_parity.py FRVSR drift measurements).
+    mesh_x = jnp.asarray(np.linspace(-1.0, 1.0, W), jnp.float32)[None, None, :]
+    mesh_y = jnp.asarray(np.linspace(-1.0, 1.0, H), jnp.float32)[None, :, None]
     gx = mesh_x + u.astype(jnp.float32)
     gy = mesh_y + v.astype(jnp.float32)
     if max_flow is not None:

@@ -175,6 +175,69 @@ def test_duf_forward_under_bf16():
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+def test_torch_batch_norm_matches_torch_exactly():
+    """flax ``nn.BatchNorm`` updates running_var with the BIASED batch
+    variance; torch uses the UNBIASED one (Bessel n/(n-1)) while normalizing
+    with the biased one in train mode.  ``TorchBatchNorm`` must match torch on
+    all three observables: train-mode outputs, the running stats after several
+    momentum updates, and eval-mode outputs from the drifted stats (the axis
+    where the flax module diverges).  Pins DUF/TOFlow BN dynamics
+    (reference ``duf_net.py:41-44``, ``toflow_net.py:25-33``)."""
+    import torch
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models.common import (
+        TorchBatchNorm,
+    )
+
+    rng = np.random.default_rng(0)
+    C = 5
+    tbn = torch.nn.BatchNorm2d(C)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(rng.standard_normal(C).astype(np.float32)))
+        tbn.bias.copy_(torch.from_numpy(rng.standard_normal(C).astype(np.float32)))
+    mod = TorchBatchNorm(use_running_average=False)
+    x0 = rng.standard_normal((3, C, 8, 8)).astype(np.float32)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x0.transpose(0, 2, 3, 1)))
+    params = dict(variables["params"])
+    params["scale"] = jnp.asarray(tbn.weight.detach().numpy())
+    params["bias"] = jnp.asarray(tbn.bias.detach().numpy())
+    stats = variables["batch_stats"]
+
+    tbn.train()
+    for step in range(4):
+        x = rng.standard_normal((3, C, 8, 8)).astype(np.float32) * (step + 1) + step
+        with torch.no_grad():
+            want = tbn(torch.from_numpy(x)).numpy()
+        got, mutated = mod.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            mutable=["batch_stats"],
+        )
+        stats = mutated["batch_stats"]
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(stats["mean"]), tbn.running_mean.numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats["var"]), tbn.running_var.numpy(), atol=5e-6
+    )
+    # the tolerance genuinely distinguishes unbiased from biased updates:
+    # a flax-style biased update shifts var by ~var/n per step, far above atol
+    n = 3 * 8 * 8
+    assert (np.asarray(stats["var"]).max() / n) > 100 * 5e-6
+
+    tbn.eval()
+    x = rng.standard_normal((2, C, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = tbn(torch.from_numpy(x)).numpy()
+    got = TorchBatchNorm(use_running_average=True).apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-6)
+
+
 def test_edvr_residual_block_bias_init_is_zero():
     """Reference arch_util.initialize_weights zeroes residual conv biases
     (arch_util.py:15-16); fresh EDVR RBs must match for from-scratch

@@ -35,6 +35,7 @@ from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner
     Optimizer,
 )
 from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.trainers import (
+    MISRTrainer,
     SISRSRFBTrainer,
     SISRTrainer,
 )
@@ -63,6 +64,11 @@ def _load_reference_trainers():
         "src/runner/trainers/acdc_sisr_trainer.py",
         "src.runner.trainers.acdc_sisr_trainer",
     )
+    misr = load_reference_module(
+        "src/runner/trainers/acdc_misr_trainer.py",
+        "src.runner.trainers.acdc_misr_trainer",
+    )
+    sys.modules["src.runner.trainers"].AcdcMISRTrainer = misr.AcdcMISRTrainer
     # the SRFB trainer imports AcdcSISRTrainer from the package __init__
     # (heavy imports there) — publish it on the stub package instead
     sys.modules["src.runner.trainers"].AcdcSISRTrainer = sisr.AcdcSISRTrainer
@@ -70,7 +76,7 @@ def _load_reference_trainers():
         "src/runner/trainers/acdc_sisr_srfb_trainer.py",
         "src.runner.trainers.acdc_sisr_srfb_trainer",
     )
-    return sisr.AcdcSISRTrainer, srfb.AcdcSISRSRFBTrainer
+    return sisr.AcdcSISRTrainer, srfb.AcdcSISRSRFBTrainer, misr.AcdcMISRTrainer
 
 
 def _sisr_items(seed=0, hw=10, factor=4):
@@ -102,15 +108,21 @@ class _ListDataset:
 
 
 class _TorchListDataset:
-    """Same items as (C, H, W) torch tensors for the reference DataLoader."""
+    """Same items as (C, H, W) torch tensors for the reference DataLoader.
+
+    Rank-4 ``lr_imgs`` windows become the reference MISR format: a list of
+    per-frame (C, h, w) tensors (default collate → list of (B, C, h, w),
+    matching ``acdc_misr_trainer._get_inputs_targets``)."""
 
     def __init__(self, items):
         import torch
 
-        self.items = [
-            {k: torch.from_numpy(v.transpose(2, 0, 1)).contiguous() for k, v in it.items()}
-            for it in items
-        ]
+        def _cvt(v):
+            if v.ndim == 4:
+                return [torch.from_numpy(f.transpose(2, 0, 1)).contiguous() for f in v]
+            return torch.from_numpy(v.transpose(2, 0, 1)).contiguous()
+
+        self.items = [{k: _cvt(v) for k, v in it.items()} for it in items]
 
     def __len__(self):
         return len(self.items)
@@ -119,7 +131,7 @@ class _TorchListDataset:
         return self.items[i]
 
 
-def _reference_losses(trainer_cls, net, items):
+def _reference_losses(trainer_cls, net, items, valid_tail=False):
     """Per-epoch train losses out of the reference's own epoch loop."""
     import torch
 
@@ -144,10 +156,16 @@ def _reference_losses(trainer_cls, net, items):
     for _ in range(EPOCHS):
         log, _, _ = trainer._run_epoch("training")
         losses.append(log["Loss"])
+    if valid_tail:
+        # eval-mode pass through the RUNNING stats drifted by the momentum
+        # updates above — the only observable of the BN running-statistics
+        # semantics (train-mode normalization uses batch stats)
+        log, _, _ = trainer._run_epoch("validation")
+        losses.append(log["Loss"])
     return losses
 
 
-def _our_losses(trainer_cls, model, variables, items):
+def _our_losses(trainer_cls, model, variables, items, valid_tail=False):
     """Per-epoch train losses out of OUR trainer's epoch engine."""
     from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.data.loader import (
         Dataloader,
@@ -168,12 +186,17 @@ def _our_losses(trainer_cls, model, variables, items):
     )
     import jax
 
-    params = jax.tree.map(jnp.asarray, dict(variables)["params"])
+    variables = dict(variables)
+    params = jax.tree.map(jnp.asarray, variables.pop("params"))
     trainer.params = params
+    trainer.model_state = jax.tree.map(jnp.asarray, variables)  # e.g. batch_stats
     trainer.opt_state = optimizer.init(params)
     losses = []
     for _ in range(EPOCHS):
         log, _, _ = trainer._run_epoch("training")
+        losses.append(log["Loss"])
+    if valid_tail:
+        log, _, _ = trainer._run_epoch("validation")
         losses.append(log["Loss"])
     return losses
 
@@ -195,7 +218,7 @@ def _load_net_module(modname):
 def test_edsr_train_dynamics_match_reference():
     import torch
 
-    ref_trainer_cls, _ = _load_reference_trainers()
+    ref_trainer_cls, _, _ = _load_reference_trainers()
     net_mod = _load_net_module("edsr_net")
     torch.manual_seed(0)
     kwargs = dict(num_resblocks=3, num_features=8, upscale_factor=4)
@@ -212,7 +235,7 @@ def test_srfb_train_dynamics_match_reference():
     (reference acdc_sisr_srfb_trainer.py:21-26)."""
     import torch
 
-    _, ref_trainer_cls = _load_reference_trainers()
+    _, ref_trainer_cls, _ = _load_reference_trainers()
     net_mod = _load_net_module("srfb_net")
     torch.manual_seed(1)
     kwargs = dict(num_steps=2, num_features=8, num_groups=2, upscale_factor=4)
@@ -224,3 +247,155 @@ def test_srfb_train_dynamics_match_reference():
         SISRSRFBTrainer, M.SRFBNet(1, 1, **kwargs), variables, items
     )
     _compare(ref_losses, our_losses)
+
+
+def _misr_items(seed=0, num_frames=7, hw=8, factor=4):
+    rng = np.random.default_rng(seed)
+    items = []
+    for _ in range(N_ITEMS):
+        items.append(
+            {
+                "lr_imgs": rng.standard_normal((num_frames, hw, hw, 1)).astype(
+                    np.float32
+                ),
+                "hr_img": rng.standard_normal((hw * factor, hw * factor, 1)).astype(
+                    np.float32
+                ),
+            }
+        )
+    return items
+
+
+def test_duf_train_dynamics_match_reference():
+    """DUF adds the BatchNorm axis: training normalizes with batch stats while
+    the RUNNING stats drift by torch's momentum-0.1 UNBIASED-variance updates
+    (``torch.nn.BatchNorm3d``); the appended validation epoch reads those
+    drifted stats in eval mode, so agreement pins the running-statistics
+    update semantics by measurement (the axis forward import-parity cannot
+    see).  Reference loop: ``acdc_misr_trainer.py:8-49`` over
+    ``base_trainer.py:99-144`` with ``duf_net.py`` BN layers."""
+    import torch
+
+    _, _, ref_trainer_cls = _load_reference_trainers()
+    net_mod = _load_net_module("duf_net")
+    torch.manual_seed(2)
+    kwargs = dict(
+        num_frames=7, size_filter=5, upscale_factor=4, backbone="_DenseLayer16"
+    )
+    ref_net = net_mod.DUFNet(1, 1, **kwargs)
+    variables = variables_from_torch_state_dict("DUFNet", ref_net.state_dict())
+    assert "batch_stats" in variables
+    items = _misr_items(seed=2)
+    ref_losses = _reference_losses(ref_trainer_cls, ref_net, items, valid_tail=True)
+    our_losses = _our_losses(
+        MISRTrainer, M.DUFNet(1, 1, **kwargs), variables, items, valid_tail=True
+    )
+    _compare(ref_losses, our_losses)
+
+
+def test_frvsr_train_dynamics_match_reference():
+    """FRVSR pins the two-headed loss path: FlowLoss(warped-LR, LR) +
+    MSELoss(SR, HR) summed per the reference's own epoch loop
+    (``acdc_frvsr_trainer.py:40-56,76-89``), with gradients flowing through
+    the recurrent STN warp and space-to-depth — semantics no other dynamics
+    test exercises."""
+    import torch
+
+    load_reference_module("src/utils.py", "src.utils")
+    load_reference_module(
+        "src/runner/trainers/base_trainer.py", "src.runner.trainers.base_trainer"
+    )
+    frvsr = load_reference_module(
+        "src/runner/trainers/acdc_frvsr_trainer.py",
+        "src.runner.trainers.acdc_frvsr_trainer",
+    )
+    net_mod = _load_net_module("frvsr_net")
+    torch.manual_seed(3)
+    kwargs = dict(upscale_factor=4, num_resblocks=2)
+    ref_net = net_mod.FRVSRNet(1, 1, **kwargs)
+    variables = variables_from_torch_state_dict("FRVSRNet", ref_net.state_dict())
+
+    rng = np.random.default_rng(3)
+    T, hw, factor = 3, 16, 4
+    items = []
+    for _ in range(N_ITEMS):
+        items.append(
+            {
+                "lr_imgs": rng.standard_normal((T, hw, hw, 1)).astype(np.float32),
+                "hr_imgs": rng.standard_normal(
+                    (T, hw * factor, hw * factor, 1)
+                ).astype(np.float32),
+            }
+        )
+
+    import torch as _torch
+
+    loader = _torch.utils.data.DataLoader(
+        _TorchListDataset(items), batch_size=BATCH, shuffle=False
+    )
+    ref_trainer = frvsr.AcdcFRVSRTrainer(
+        device=_torch.device("cpu"),
+        train_dataloader=loader,
+        valid_dataloader=loader,
+        net=ref_net,
+        loss_fns=[torch.nn.MSELoss(), torch.nn.MSELoss()],  # Flow then SR
+        loss_weights=[1.0, 1.0],
+        metric_fns=[],
+        optimizer=_torch.optim.Adam(
+            ref_net.parameters(), lr=LR, weight_decay=WEIGHT_DECAY
+        ),
+        lr_scheduler=None,
+        logger=None,
+        monitor=None,
+        num_epochs=EPOCHS,
+    )
+    ref_losses = []
+    for _ in range(EPOCHS):
+        log, _, _ = ref_trainer._run_epoch("training")
+        ref_losses.append(log["Loss"])
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.trainers import (
+        FRVSRTrainer,
+    )
+
+    our_losses = _our_losses_multi(
+        FRVSRTrainer,
+        M.FRVSRNet(1, 1, **kwargs),
+        variables,
+        items,
+        loss_fns=[L.FlowLoss(), L.MSELoss()],
+    )
+    _compare(ref_losses, our_losses)
+
+
+def _our_losses_multi(trainer_cls, model, variables, items, loss_fns):
+    """Like ``_our_losses`` but with explicit (multi-head) loss functions."""
+    import jax
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.data.loader import (
+        Dataloader,
+    )
+
+    loader = Dataloader(_ListDataset(items), batch_size=BATCH, shuffle=False)
+    optimizer = Optimizer("Adam", lr=LR, weight_decay=WEIGHT_DECAY)
+    trainer = trainer_cls(
+        device="cpu",
+        train_dataloader=loader,
+        valid_dataloader=loader,
+        net=model,
+        loss_fns=loss_fns,
+        loss_weights=[1.0] * len(loss_fns),
+        metric_fns=[],
+        optimizer=optimizer,
+        num_epochs=EPOCHS,
+    )
+    variables = dict(variables)
+    params = jax.tree.map(jnp.asarray, variables.pop("params"))
+    trainer.params = params
+    trainer.model_state = jax.tree.map(jnp.asarray, variables)
+    trainer.opt_state = optimizer.init(params)
+    losses = []
+    for _ in range(EPOCHS):
+        log, _, _ = trainer._run_epoch("training")
+        losses.append(log["Loss"])
+    return losses
