@@ -120,6 +120,8 @@ class _TorchListDataset:
         def _cvt(v):
             if v.ndim == 4:
                 return [torch.from_numpy(f.transpose(2, 0, 1)).contiguous() for f in v]
+            if v.ndim == 2:  # pos_code (T, 1): collates to (B, T, 1) untouched
+                return torch.from_numpy(v)
             return torch.from_numpy(v.transpose(2, 0, 1)).contiguous()
 
         self.items = [{k: _cvt(v) for k, v in it.items()} for it in items]
@@ -201,9 +203,9 @@ def _our_losses(trainer_cls, model, variables, items, valid_tail=False):
     return losses
 
 
-def _compare(ref_losses, our_losses):
+def _compare(ref_losses, our_losses, rtol=1e-5):
     ref, ours = np.asarray(ref_losses), np.asarray(our_losses)
-    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(ours, ref, rtol=rtol, atol=1e-7)
     # the trajectory must actually move (otherwise agreement is vacuous)
     assert abs(ref[0] - ref[-1]) > 1e-4
 
@@ -293,6 +295,43 @@ def test_duf_train_dynamics_match_reference():
     _compare(ref_losses, our_losses)
 
 
+def test_toflow_train_dynamics_match_reference():
+    """TOFlow pins the per-neighbor SpyNet BN semantics: in train mode each
+    neighbor's SpyNet pass updates the SAME running stats sequentially
+    (reference ``toflow_net.py:116-138`` loops neighbors; our training path
+    deliberately keeps that loop instead of batching it — PERF_NOTES
+    'Batched neighbor passes'), plus gradients through the HR flow warp.
+    The validation tail reads the sequentially-drifted running stats.
+
+    Tolerance: trajectory rtol 2e-3 (measured max 3.2e-4 over 12 steps) with
+    epoch 1 at 1e-5 (measured 2.3e-7).  Unlike every other family, TOFlow's
+    warp chain divides coordinates by (W−1) — XLA:CPU lowers f32 division by
+    a non-power-of-2 constant without correct IEEE rounding (measured: 74%
+    of quotients 1 ulp off torch's eager division), and the trained flows
+    feed those ulps back through the warp every step, so bit-parity of the
+    trajectory is unattainable across backends.  The ulp drift grows
+    smoothly from 1e-7; a semantic bug (wrong momentum, wrong neighbor
+    order, wrong loss weighting) blows past 1e-2 within an epoch or two.
+    BN running-statistics exactness itself is pinned at rtol 1e-5 by the
+    DUF test (no warp) and bit-level by the TorchBatchNorm unit test."""
+    import torch
+
+    _, _, ref_trainer_cls = _load_reference_trainers()
+    net_mod = _load_net_module("toflow_net")
+    torch.manual_seed(5)
+    kwargs = dict(num_frames=3, upscale_factor=4)
+    ref_net = net_mod.TOFlowNet(1, 1, **kwargs)
+    variables = variables_from_torch_state_dict("TOFlowNet", ref_net.state_dict())
+    assert "batch_stats" in variables
+    items = _misr_items(seed=5, num_frames=3, hw=16)
+    ref_losses = _reference_losses(ref_trainer_cls, ref_net, items, valid_tail=True)
+    our_losses = _our_losses(
+        MISRTrainer, M.TOFlowNet(1, 1, **kwargs), variables, items, valid_tail=True
+    )
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-5)
+    _compare(ref_losses, our_losses, rtol=2e-3)
+
+
 def test_frvsr_train_dynamics_match_reference():
     """FRVSR pins the two-headed loss path: FlowLoss(warped-LR, LR) +
     MSELoss(SR, HR) summed per the reference's own epoch loop
@@ -364,6 +403,101 @@ def test_frvsr_train_dynamics_match_reference():
         variables,
         items,
         loss_fns=[L.FlowLoss(), L.MSELoss()],
+    )
+    _compare(ref_losses, our_losses)
+
+
+def test_refinenet_train_dynamics_match_reference():
+    """The flagship family: pins the stage-discounted multi-branch loss
+    (0.5^(num_stages−1−i//3) over 3·num_stages branches,
+    ``acdc_vsr_refinenet_trainer.py:84-103``), the warm-up no-grad boundary
+    inside the reference net's own train loop, and the eval-mode final-branch
+    loss (the validation tail) — run against the live reference RefineNet
+    (CPU-patched ``init_hidden``, reference_loader)."""
+    import torch
+
+    from reference_loader import load_reference_refine_net
+
+    load_reference_module("src/utils.py", "src.utils")
+    load_reference_module(
+        "src/runner/trainers/base_trainer.py", "src.runner.trainers.base_trainer"
+    )
+    vrt = load_reference_module(
+        "src/runner/trainers/acdc_vsr_refinenet_trainer.py",
+        "src.runner.trainers.acdc_vsr_refinenet_trainer",
+    )
+    rn = load_reference_refine_net()
+    torch.manual_seed(4)
+    cfg = dict(
+        in_channels=1,
+        out_channels=1,
+        num_features=[6, 6],
+        num_stages=2,
+        refine_window_size=5,
+        upscale_factor=4,
+        update_memory=True,
+        num_updated_frames=3,
+        memory=True,
+        positional_encoding=True,
+    )
+    ref_net = rn.RefineNet(**cfg)
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils.torch_import import (
+        params_from_torch_state_dict,
+    )
+
+    params = params_from_torch_state_dict("RefineNet", ref_net.state_dict())
+
+    rng = np.random.default_rng(4)
+    tc, nuf, hw, factor = 5, cfg["num_updated_frames"], 8, 4
+    T = tc + 2 * nuf
+    items = []
+    for _ in range(N_ITEMS):
+        items.append(
+            {
+                "lr_imgs": rng.standard_normal((T, hw, hw, 1)).astype(np.float32),
+                "hr_imgs": rng.standard_normal(
+                    (tc, hw * factor, hw * factor, 1)
+                ).astype(np.float32),
+                "pos_code": rng.uniform(-1, 1, (T, 1)).astype(np.float32),
+            }
+        )
+
+    loader = torch.utils.data.DataLoader(
+        _TorchListDataset(items), batch_size=BATCH, shuffle=False
+    )
+    ref_trainer = vrt.AcdcVSRRefineNetTrainer(
+        device=torch.device("cpu"),
+        train_dataloader=loader,
+        valid_dataloader=loader,
+        net=ref_net,
+        loss_fns=[torch.nn.L1Loss()],
+        loss_weights=[1.0],
+        metric_fns=[],
+        optimizer=torch.optim.Adam(
+            ref_net.parameters(), lr=LR, weight_decay=WEIGHT_DECAY
+        ),
+        lr_scheduler=None,
+        logger=None,
+        monitor=None,
+        num_epochs=EPOCHS,
+    )
+    ref_losses = []
+    for _ in range(EPOCHS):
+        log, _, _ = ref_trainer._run_epoch("training")
+        ref_losses.append(log["Loss"])
+    log, _, _ = ref_trainer._run_epoch("validation")
+    ref_losses.append(log["Loss"])
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.trainers import (
+        VSRRefineNetTrainer,
+    )
+
+    our_losses = _our_losses(
+        VSRRefineNetTrainer,
+        M.RefineNet(**cfg),
+        {"params": params},
+        items,
+        valid_tail=True,
     )
     _compare(ref_losses, our_losses)
 
