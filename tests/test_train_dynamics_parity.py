@@ -295,6 +295,98 @@ def test_duf_train_dynamics_match_reference():
     _compare(ref_losses, our_losses)
 
 
+def test_drf_train_dynamics_match_reference():
+    """DRFNet under the plain VSR trainer loop — the last trainer class
+    without a dynamics measurement: sequence-in/sequence-out with per-frame
+    loss averaging and B·T log weighting (``acdc_vsr_trainer.py:74-124``),
+    plus the frame-scanned feedback carry."""
+    import torch
+
+    load_reference_module("src/utils.py", "src.utils")
+    load_reference_module(
+        "src/runner/trainers/base_trainer.py", "src.runner.trainers.base_trainer"
+    )
+    vsr = load_reference_module(
+        "src/runner/trainers/acdc_vsr_trainer.py", "src.runner.trainers.acdc_vsr_trainer"
+    )
+    net_mod = _load_net_module("drf_net")
+    torch.manual_seed(8)
+    kwargs = dict(num_features=8, num_groups=2, upscale_factor=4)
+    ref_net = net_mod.DRFNet(1, 1, **kwargs)
+    variables = variables_from_torch_state_dict("DRFNet", ref_net.state_dict())
+
+    rng = np.random.default_rng(8)
+    T, hw, factor = 4, 8, 4
+    items = [
+        {
+            "lr_imgs": rng.standard_normal((T, hw, hw, 1)).astype(np.float32),
+            "hr_imgs": rng.standard_normal(
+                (T, hw * factor, hw * factor, 1)
+            ).astype(np.float32),
+        }
+        for _ in range(N_ITEMS)
+    ]
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.trainers import (
+        VSRTrainer,
+    )
+
+    ref_losses = _reference_losses(vsr.AcdcVSRTrainer, ref_net, items)
+    our_losses = _our_losses(VSRTrainer, M.DRFNet(1, 1, **kwargs), variables, items)
+    _compare(ref_losses, our_losses)
+
+
+def test_rbp_train_dynamics_match_reference():
+    """RBPN covers the PReLU learning dynamics (its slope parameters are
+    trained — the init quirk is pinned at import, their UPDATES only here)
+    and the up/down back-projection stages under the real MISR loop."""
+    import torch
+
+    _, _, ref_trainer_cls = _load_reference_trainers()
+    net_mod = _load_net_module("rbp_net")
+    torch.manual_seed(7)
+    kwargs = dict(
+        base_filter=8, feat=8, num_stages=3, num_resblocks=2,
+        num_frames=3, upscale_factor=4,
+    )
+    ref_net = net_mod.RBPNet(1, 1, **kwargs)
+    variables = variables_from_torch_state_dict("RBPNet", ref_net.state_dict())
+    items = _misr_items(seed=7, num_frames=3, hw=8)
+    ref_losses = _reference_losses(ref_trainer_cls, ref_net, items)
+    our_losses = _our_losses(MISRTrainer, M.RBPNet(1, 1, **kwargs), variables, items)
+    _compare(ref_losses, our_losses)
+
+
+def test_edvr_train_dynamics_match_reference():
+    """EDVR trains against the reference with the differentiable torch DCN
+    oracle stub standing in for the CUDA extension (tests/dcn_oracle.py) —
+    the deformable-conv GRADIENT semantics inside a real optimizer loop,
+    which the static gradient-parity tests cannot see drifting.  The
+    ``conv_offset_mask`` layers are randomized identically on both sides
+    before import so deformable sampling is live from step 1 (zero-init
+    would make the DCN a plain conv for the first steps)."""
+    import torch
+
+    from reference_loader import load_reference_edvr
+
+    _, _, ref_trainer_cls = _load_reference_trainers()
+    ref_mod = load_reference_edvr()
+    torch.manual_seed(6)
+    kwargs = dict(
+        in_channels=1, out_channels=1, nf=8, nframes=5, groups=2,
+        front_RBs=2, back_RBs=2,
+    )
+    ref_net = ref_mod.EDVRNet(**kwargs)
+    with torch.no_grad():
+        for name, p in ref_net.named_parameters():
+            if "conv_offset_mask" in name:
+                p.normal_(0.0, 0.08)
+    variables = variables_from_torch_state_dict("EDVRNet", ref_net.state_dict())
+    items = _misr_items(seed=6, num_frames=5, hw=12)
+    ref_losses = _reference_losses(ref_trainer_cls, ref_net, items)
+    our_losses = _our_losses(MISRTrainer, M.EDVRNet(**kwargs), variables, items)
+    _compare(ref_losses, our_losses)
+
+
 def test_toflow_train_dynamics_match_reference():
     """TOFlow pins the per-neighbor SpyNet BN semantics: in train mode each
     neighbor's SpyNet pass updates the SAME running stats sequentially
