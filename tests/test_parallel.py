@@ -26,6 +26,20 @@ from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parall
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
 
+
+def _worker_env():
+    """Env for the multi-process worker subprocesses: strip conftest's
+    XLA_FLAGS (the workers set their own jax_num_cpu_devices) AND its
+    persistent-compile-cache vars — with the shared cache, coordinated
+    processes get asymmetric cache hits, so one executes (and registers its
+    Gloo sub-communicators) while a peer is still compiling, and the
+    30 s GetKeyValue rendezvous deadline expires (measured: the 4-process
+    run fails with "Gloo context initialization failed: DEADLINE_EXCEEDED"
+    with the cache, passes in <90 s without it)."""
+    drop = ("XLA_FLAGS", "JAX_COMPILATION_CACHE_DIR", "JAX_PERSISTENT_CACHE")
+    return {k: v for k, v in os.environ.items() if not k.startswith(drop)}
+
+
 CFG = dict(
     in_channels=1,
     out_channels=1,
@@ -99,6 +113,51 @@ def test_data_parallel_train_step_matches_single_device():
     assert float(v8) == pytest.approx(float(v1), rel=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_data_parallel_bn_stats_match_single_device():
+    """TorchBatchNorm under GSPMD data parallelism reduces over the GLOBAL
+    batch (jit-level sharding): train-mode loss, gradients, and the updated
+    running stats on the 8-device mesh must equal the single-device step —
+    torch single-process full-batch semantics, NOT DDP-style per-replica
+    stats.  Exercises DUF's BN through a real value_and_grad step."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+        DUFNet,
+    )
+
+    model = DUFNet(
+        1, 1, num_frames=7, size_filter=5, upscale_factor=4,
+        backbone="_DenseLayer16",
+    )
+    rng = np.random.default_rng(3)
+    lr = rng.standard_normal((B, 7, H, W, 1)).astype(np.float32)
+    hr = rng.standard_normal((B, H * 4, W * 4, 1)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(1), jnp.asarray(lr), train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def loss_fn(p, s, x, y):
+        out, mut = model.apply(
+            {"params": p, "batch_stats": s}, x, train=True, mutable=["batch_stats"]
+        )
+        return jnp.mean((out - y) ** 2), mut["batch_stats"]
+
+    step = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+    (v1, st1), g1 = step(params, stats, jnp.asarray(lr), jnp.asarray(hr))
+
+    mesh = make_mesh(8)
+    p8 = replicate_tree(mesh, params)
+    s8 = replicate_tree(mesh, stats)
+    b8 = shard_batch(mesh, {"lr_imgs": lr, "hr_img": hr})
+    (v8, st8), g8 = step(p8, s8, b8["lr_imgs"], b8["hr_img"])
+
+    assert float(v8) == pytest.approx(float(v1), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+    # grads: psum-vs-single-device f32 reduction order leaves a few
+    # near-zero elements ~1e-5 apart (5/25600 measured); stats match at 1e-5
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4)
 
 
 def test_eval_sharded_by_sequence():
@@ -334,7 +393,7 @@ def test_two_process_distributed_cpu_matches_single_process(tmp_path):
         return subprocess.run(
             [sys.executable, worker, *args],
             capture_output=True, text=True, timeout=timeout,
-            env={k: v for k, v in os.environ.items() if not k.startswith("XLA_FLAGS")},
+            env=_worker_env(),
         )
 
     def losses(proc):
@@ -348,10 +407,7 @@ def test_two_process_distributed_cpu_matches_single_process(tmp_path):
 
     ckpt_dir = tmp_path / "shared_ckpts"
     ckpt_dir.mkdir()
-    # same env treatment as the single-process run: strip conftest's
-    # XLA_FLAGS so the workers' own jax_num_cpu_devices=4 is authoritative
-    # regardless of jax's flag/config precedence
-    worker_env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_FLAGS")}
+    worker_env = _worker_env()
 
     def launch():
         # bind/close/launch is a TOCTOU race on the coordinator port; the
@@ -417,7 +473,7 @@ def test_four_process_dp_sp_mesh_matches_single_process():
     import sys
 
     worker = str(Path(__file__).parent / "_two_process_worker.py")
-    worker_env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_FLAGS")}
+    worker_env = _worker_env()
 
     def losses(out, err, who):
         m = re.search(r"LOSS ([\d.]+) ([\d.]+)", out)
@@ -483,7 +539,7 @@ def test_two_process_trainer_epoch_matches_single_process():
     import sys
 
     worker = str(Path(__file__).parent / "_two_process_worker.py")
-    worker_env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_FLAGS")}
+    worker_env = _worker_env()
 
     def losses(out, err, who):
         m = re.search(r"LOSS ([\d.]+) ([\d.]+)", out)
