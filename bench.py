@@ -76,16 +76,23 @@ def bench_jax(iters: int = 10, warmup: int = 2, compute_dtype=None) -> dict:
         return out, jnp.sum(out)
 
     lr_d, pos_d = jax.device_put(lr), jax.device_put(pos)
-    # clip FLOPs by XLA's own cost analysis — feeds the analytic V100 roofline
-    try:
-        cost = forward.lower(variables, lr_d, pos_d).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops_per_clip = float(cost.get("flops", float("nan")))
-        if np.isnan(flops_per_clip):
+    # clip FLOPs by XLA's own cost analysis — feeds the analytic V100
+    # roofline.  fp32 only (v100_roofline reads ours_fp32's count; the bf16
+    # pass would recompile for nothing), and the AOT executable is REUSED for
+    # the timed calls below — .compile() here otherwise doubles the 5-10 min
+    # flagship compile through the tunnel on top of the jit dispatch's own.
+    flops_per_clip = None
+    if compute_dtype is None:
+        try:
+            compiled = forward.lower(variables, lr_d, pos_d).compile()
+            cost = compiled.cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", float("nan")))
+            flops_per_clip = None if np.isnan(flops) else flops
+            forward = compiled
+        except Exception:
             flops_per_clip = None
-    except Exception:
-        flops_per_clip = None
     _, chk = forward(variables, lr_d, pos_d)
     float(chk)
     for _ in range(warmup):

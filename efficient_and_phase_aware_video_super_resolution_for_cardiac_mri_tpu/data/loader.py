@@ -69,12 +69,18 @@ class Dataloader:
         except (TypeError, ValueError):
             # signature unobtainable (C-implemented / wrapped __getitem__):
             # probe with a real call so rng-accepting datasets keep their
-            # deterministic per-item rng instead of silently losing it
+            # deterministic per-item rng instead of silently losing it.
+            # TypeError = the rng kwarg failed to BIND -> no rng; any other
+            # exception (empty dataset's IndexError, a decode error) means
+            # binding succeeded before the body raised -> rng accepted, and
+            # the real failure (if persistent) surfaces on the first batch
             try:
                 dataset.__getitem__(0, rng=item_rng(0, 0))
                 self._getitem_takes_rng = True
             except TypeError:
                 self._getitem_takes_rng = False
+            except Exception:
+                self._getitem_takes_rng = True
 
     def set_epoch(self, seed: int) -> None:
         """Fix the epoch's shuffle order + augmentation randomness."""

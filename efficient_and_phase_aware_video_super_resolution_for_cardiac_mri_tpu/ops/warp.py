@@ -21,10 +21,11 @@ XLA/TPU dynamic-gather bound the DCN hit (PERF_NOTES 'Deformable conv').
 Both warps therefore also ship the gather-free windowed shift-and-weight
 path (``max_flow=R``): the sample is a sum over a static displacement window
 of statically-shifted maps (pad+slice) times closed-form corner weights —
-EXACT whenever every displacement magnitude is <= R (out-of-window samples
-contribute zero), opt-in per net (``TOFlowNet(max_flow=...)``,
-``FRVSRNet(max_flow=...)``) to preserve unbounded reference semantics by
-default.
+EXACT whenever the pixel flow magnitude is <= R on both axes (the window is
+widened internally, typically to R+1, to absorb each caller's coordinate-
+chain rescale/shift; out-of-window samples contribute zero), opt-in per net
+(``TOFlowNet(max_flow=...)``, ``FRVSRNet(max_flow=...)``) to preserve
+unbounded reference semantics by default.
 """
 from __future__ import annotations
 
@@ -90,6 +91,10 @@ def grid_sample(
     return out.astype(x.dtype)
 
 
+def _ceil_div(num: int, den: int) -> int:
+    return -(-num // den)
+
+
 def _corner_weights(o: jnp.ndarray, d: int) -> jnp.ndarray:
     """(1−frac)·[d==floor(o)] + frac·[d==floor(o)+1]: nonzero exactly at the
     two bilinear corners; gradients flow through frac only — the bilinear
@@ -150,10 +155,12 @@ def flow_warp(
 ) -> jnp.ndarray:
     """TOFlow-style warp: x (B, H, W, C), flow (B, H, W, 2) in pixels.
 
-    ``max_flow=R`` switches to the windowed gather-free path (exact for
-    |effective flow| <= R; see module docstring).  The reference's quirky
-    (size−1)-normalize / align_corners=False-sample chain scales the flow by
-    (size−1)/size and shifts it half a pixel — reproduced in both paths.
+    ``max_flow=R`` switches to the windowed gather-free path, exact while
+    |flow| <= R px on both axes.  The reference's quirky (size−1)-normalize /
+    align_corners=False-sample chain scales the flow by size/(size−1) and
+    shifts it by a position-dependent up-to-half pixel — reproduced in both
+    paths; the window is widened internally (typically to R+1) so that quirk
+    chain cannot push an in-bound flow out of the window.
     """
     B, H, W, _ = x.shape
     # f32 pixel coordinates (bf16 arange is wrong past 256 — see grid_sample)
@@ -169,9 +176,17 @@ def flow_warp(
         # unnormalize with the align_corners=False rule, as grid_sample would
         sx = ((gx + 1.0) * W - 1.0) / 2.0
         sy = ((gy + 1.0) * H - 1.0) / 2.0
-        return windowed_sample(
-            x, sy - grid_y, sx - grid_x, max_flow, padding_mode
+        # the mismatched chain above makes the EFFECTIVE sampling displacement
+        # flow·size/(size−1) + pos/(size−1) − 0.5, which exceeds |flow| by up
+        # to flow/(size−1) + 0.5 px near the right/bottom edge — widen the
+        # static window (exact integer ceil; typically max_flow + 1) so
+        # 'exact while |flow| <= max_flow' holds at EVERY pixel, not just
+        # where the position shift is favorable
+        win = max(
+            _ceil_div(2 * max_flow * W + W - 1, 2 * W - 2) if W > 1 else max_flow,
+            _ceil_div(2 * max_flow * H + H - 1, 2 * H - 2) if H > 1 else max_flow,
         )
+        return windowed_sample(x, sy - grid_y, sx - grid_x, win, padding_mode)
     return grid_sample(x, jnp.stack([gx, gy], axis=-1), padding_mode, align_corners=False)
 
 
@@ -185,9 +200,10 @@ def stn_warp(
     """FRVSR STN warp: x (B, H, W, C); u, v (B, H, W) normalized-ish flow added
     to a linspace(-1, 1) mesh (reference ``frvsr_net.py:209-226``).
 
-    ``max_flow=R`` switches to the windowed gather-free path: the pixel
-    displacement (normalized flow · size/2, plus the small linspace-vs-
-    align_corners mesh offset) must stay within R for exactness."""
+    ``max_flow=R`` switches to the windowed gather-free path, exact while
+    the pixel flow (normalized flow · size/2) stays within R: the window is
+    widened internally by one to absorb the linspace-vs-align_corners mesh
+    offset (a position-dependent shift in (−0.5, +0.5])."""
     B, H, W, _ = x.shape
     # f32 mesh: bf16 collapses adjacent linspace values at these sizes.
     # Host-built f64 linspace cast to f32 matches the reference's rounding
@@ -204,5 +220,8 @@ def stn_warp(
         sy = ((gy + 1.0) * H - 1.0) / 2.0
         grid_x = jnp.arange(W, dtype=jnp.float32)[None, None, :]
         grid_y = jnp.arange(H, dtype=jnp.float32)[None, :, None]
-        return windowed_sample(x, sy - grid_y, sx - grid_x, max_flow, padding_mode)
+        # effective displacement = pixel flow + pos/(size−1) − 0.5: the mesh
+        # offset adds up to ±0.5 px, so widen the window by one for the
+        # user bound (|pixel flow| <= max_flow) to be the exact one
+        return windowed_sample(x, sy - grid_y, sx - grid_x, max_flow + 1, padding_mode)
     return grid_sample(x, jnp.stack([gx, gy], axis=-1), padding_mode, align_corners=False)

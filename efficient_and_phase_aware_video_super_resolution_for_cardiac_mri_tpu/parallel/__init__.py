@@ -6,6 +6,7 @@ from .mesh import (
     batch_sharding,
     gather_for_compute,
     make_mesh,
+    pad_height_to_multiple,
     param_spec,
     partition_tree,
     replicate_tree,
@@ -20,6 +21,7 @@ __all__ = [
     "SPATIAL_AXIS",
     "MODEL_AXIS",
     "make_mesh",
+    "pad_height_to_multiple",
     "batch_sharding",
     "gather_for_compute",
     "replicated",

@@ -115,6 +115,23 @@ def _spatial_key(key) -> bool:
     return isinstance(key, str) and ("img" in key or key in ("lr", "hr", "pos", "pos_code"))
 
 
+def pad_height_to_multiple(arr: np.ndarray, multiple: int) -> np.ndarray:
+    """The ``pad_h`` contract in ONE place (predictor + batch_infer CLI):
+    edge-extend the height axis (``ndim - 3``, channels-last) at the BOTTOM
+    to the next multiple of ``multiple`` so indivisible heights still shard
+    over ``spatial``; callers crop outputs back with ``[..., :true_h, :, :]``.
+    Edge mode keeps conv borders closer to the unpadded numerics than zeros
+    (documented tradeoff in docs/TPU_EXTENSIONS.md)."""
+    arr = np.asarray(arr)
+    h_axis = arr.ndim - 3
+    pad = -arr.shape[h_axis] % multiple
+    if not pad:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[h_axis] = (0, pad)
+    return np.pad(arr, widths, mode="edge")
+
+
 def shard_batch(mesh: Mesh | None, batch: dict) -> dict:
     """Place a host batch on device: batch axis over ``data``; the height axis
     of channels-last image/video arrays (rank >= 4 under a ``_spatial_key``)

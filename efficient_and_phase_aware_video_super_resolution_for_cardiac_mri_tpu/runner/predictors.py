@@ -142,7 +142,7 @@ class BasePredictor:
         outputs/targets back to the true height (see ``pad_h`` in __init__)."""
         if not self.pad_h or self.mesh is None:
             return batch, None
-        from ..parallel.mesh import SPATIAL_AXIS, _spatial_key
+        from ..parallel.mesh import SPATIAL_AXIS, _spatial_key, pad_height_to_multiple
 
         sp = self.mesh.shape.get(SPATIAL_AXIS, 1)
         if sp <= 1:
@@ -153,12 +153,9 @@ class BasePredictor:
             arr = np.asarray(v)
             if arr.ndim < 4 or not _spatial_key(k):
                 continue
-            h_axis = arr.ndim - 3
-            pad = -arr.shape[h_axis] % sp
-            if pad:
-                widths = [(0, 0)] * arr.ndim
-                widths[h_axis] = (0, pad)
-                new[k] = np.pad(arr, widths, mode="edge")
+            ext = pad_height_to_multiple(arr, sp)
+            if ext is not arr:
+                new[k] = ext
                 padded = True
         return (new, true_h) if padded else (batch, None)
 

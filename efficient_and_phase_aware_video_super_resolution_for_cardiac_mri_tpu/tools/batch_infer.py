@@ -25,7 +25,7 @@ from .. import data as _data  # noqa: F401  (registry)
 from ..config import DATASETS
 from ..metrics import PSNR, SSIM
 from ..models import RefineNet
-from ..parallel import make_mesh, replicate_tree, shard_batch
+from ..parallel import make_mesh, pad_height_to_multiple, replicate_tree, shard_batch
 from ..runner.checkpoint import load_net_variables
 from ..utils.stats import denormalize
 
@@ -132,11 +132,7 @@ def main(argv=None):
             hr = np.stack([it["hr_imgs"] for it in items] + [items[-1]["hr_imgs"]] * pad)
             true_hr_h = hr.shape[-3]
             if args.pad_h and args.spatial_parallel > 1:
-                h_pad = -lr.shape[-3] % args.spatial_parallel
-                if h_pad:
-                    widths = [(0, 0)] * lr.ndim
-                    widths[-3] = (0, h_pad)
-                    lr = np.pad(lr, widths, mode="edge")
+                lr = pad_height_to_multiple(lr, args.spatial_parallel)
             batch = shard_batch(mesh, {"lr": lr, "pos": pos})
             out = np.asarray(forward(variables, batch["lr"], batch["pos"]))
             out = out[..., :true_hr_h, :, :]  # crop pad_h rows (no-op unpadded)

@@ -124,12 +124,19 @@ def test_windowed_warp_matches_gather():
     B, H, W = 2, 9, 11
     x = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32)
     R = 2
-    # fractional, integer, and zero flows, all within R (the (size-1)/size
-    # flow rescale in the quirky chain keeps |effective flow| < |flow|)
+    # fractional, integer, zero, and EXACTLY-at-the-bound flows.  |flow| == R
+    # is the documented contract and the hard case: the quirky chain rescales
+    # the flow by size/(size-1) and adds a position-dependent up-to-+0.5 px
+    # shift, so the effective displacement EXCEEDS R near the right/bottom
+    # edge — the internally widened window must still cover it (this case
+    # silently lost a bilinear corner before the widening)
     flows = [
         rng.uniform(-R + 0.5, R - 0.5, (B, H, W, 2)).astype(np.float32),
         np.round(rng.uniform(-R + 1, R - 1, (B, H, W, 2))).astype(np.float32),
         np.zeros((B, H, W, 2), np.float32),
+        np.full((B, H, W, 2), float(R), np.float32),
+        np.full((B, H, W, 2), -float(R), np.float32),
+        rng.uniform(-R, R, (B, H, W, 2)).astype(np.float32),
     ]
     for flow in flows:
         flow = jnp.asarray(flow)
@@ -148,12 +155,18 @@ def test_windowed_warp_matches_gather():
         np.testing.assert_allclose(np.asarray(gx_g), np.asarray(gx_w), atol=1e-5)
         np.testing.assert_allclose(np.asarray(gf_g), np.asarray(gf_w), atol=1e-5)
 
-    # stn (border padding): normalized flows small enough to stay in-window
-    u = jnp.asarray(rng.uniform(-0.05, 0.05, (B, H, W)).astype(np.float32))
-    v = jnp.asarray(rng.uniform(-0.05, 0.05, (B, H, W)).astype(np.float32))
-    want = stn_warp(x, u, v, "border")
-    got = stn_warp(x, u, v, "border", max_flow=R)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # stn (border padding): small normalized flows AND pixel flows at
+    # exactly the bound (|u|·W/2 == R — the mesh offset adds ±0.5 px on top,
+    # covered by the internal window widening)
+    for u, v in [
+        (rng.uniform(-0.05, 0.05, (B, H, W)), rng.uniform(-0.05, 0.05, (B, H, W))),
+        (np.full((B, H, W), 2.0 * R / W), np.full((B, H, W), -2.0 * R / H)),
+    ]:
+        u = jnp.asarray(u.astype(np.float32))
+        v = jnp.asarray(v.astype(np.float32))
+        want = stn_warp(x, u, v, "border")
+        got = stn_warp(x, u, v, "border", max_flow=R)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
     # out-of-window flow: 'zeros' mode drops the sample to zero...
     big = jnp.asarray(np.full((B, H, W, 2), R + 3, np.float32))

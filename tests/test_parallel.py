@@ -377,41 +377,43 @@ def test_trainer_with_mesh_through_config(tmp_path, parallel_section, trainer_ex
         assert trainer.mesh.shape["data"] == 8
 
 
-@pytest.mark.slow
-def test_two_process_distributed_cpu_matches_single_process(tmp_path):
-    """Multi-host plan (SURVEY §2.8): two coordinated processes with 4 virtual
-    CPU devices each run the same global 8-device data-parallel train step as
-    one process owning all 8 devices — losses must agree (tests/_two_process_worker.py)."""
+def _worker_losses(out: str, err: str, who: str):
     import re
+
+    m = re.search(r"LOSS ([\d.]+) ([\d.]+)", out)
+    assert m, f"{who}: no LOSS line\nstdout={out[-500:]}\nstderr={err[-1500:]}"
+    return float(m[1]), float(m[2])
+
+
+def _run_single_worker(args):
+    """Ground-truth run: one process owning all 8 virtual devices."""
+    import subprocess
+    import sys
+
+    worker = str(Path(__file__).parent / "_two_process_worker.py")
+    proc = subprocess.run(
+        [sys.executable, worker, *args],
+        capture_output=True, text=True, timeout=240, env=_worker_env(),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    return proc
+
+
+def _run_coordinated_workers(per_proc_args, n_procs: int, who: str):
+    """Launch ``n_procs`` coordinated worker subprocesses on a fresh
+    coordinator port and return their (stdout, stderr) pairs.  The ONE copy
+    of the scaffolding all multi-process tests share: the bind/close/launch
+    port probe is a TOCTOU race, retried once if another process steals the
+    port in the gap; a runtime that forbids jax.distributed on CPU skips the
+    test; any other failure asserts."""
     import socket
     import subprocess
     import sys
 
     worker = str(Path(__file__).parent / "_two_process_worker.py")
-
-    def run(args, timeout=240):
-        return subprocess.run(
-            [sys.executable, worker, *args],
-            capture_output=True, text=True, timeout=timeout,
-            env=_worker_env(),
-        )
-
-    def losses(proc):
-        m = re.search(r"LOSS ([\d.]+) ([\d.]+)", proc.stdout)
-        assert m, f"no LOSS line:\nstdout={proc.stdout[-500:]}\nstderr={proc.stderr[-1500:]}"
-        return float(m[1]), float(m[2])
-
-    single = run(["--single"])
-    assert single.returncode == 0, single.stderr[-1500:]
-    want = losses(single)
-
-    ckpt_dir = tmp_path / "shared_ckpts"
-    ckpt_dir.mkdir()
-    worker_env = _worker_env()
+    env = _worker_env()
 
     def launch():
-        # bind/close/launch is a TOCTOU race on the coordinator port; the
-        # retry below covers another process stealing it in the gap
         s = socket.socket()
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -419,11 +421,11 @@ def test_two_process_distributed_cpu_matches_single_process(tmp_path):
         procs = [
             subprocess.Popen(
                 [sys.executable, worker, "--pid", str(i), "--port", str(port),
-                 "--ckpt-dir", str(ckpt_dir)],
+                 *per_proc_args],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-                env=worker_env,
+                env=env,
             )
-            for i in range(2)
+            for i in range(n_procs)
         ]
         try:
             return procs, [p.communicate(timeout=240) for p in procs]
@@ -447,12 +449,24 @@ def test_two_process_distributed_cpu_matches_single_process(tmp_path):
         forbidden = "must be called before any JAX calls" in stderr or (
             "UNAVAILABLE" in stderr and "coordination" in stderr.lower()
         )
-        assert forbidden, f"two-process run failed:\n{stderr[-2000:]}"
+        assert forbidden, f"{who} run failed:\n{stderr[-2000:]}"
         pytest.skip(f"runtime forbids jax.distributed on CPU: {stderr[-300:]}")
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_distributed_cpu_matches_single_process(tmp_path):
+    """Multi-host plan (SURVEY §2.8): two coordinated processes with 4 virtual
+    CPU devices each run the same global 8-device data-parallel train step as
+    one process owning all 8 devices — losses must agree (tests/_two_process_worker.py)."""
+    single = _run_single_worker(["--single"])
+    want = _worker_losses(single.stdout, single.stderr, "single")
+
+    ckpt_dir = tmp_path / "shared_ckpts"
+    ckpt_dir.mkdir()
+    outs = _run_coordinated_workers(["--ckpt-dir", str(ckpt_dir)], 2, "two-process")
     for i, (out, err) in enumerate(outs):
-        m = re.search(r"LOSS ([\d.]+) ([\d.]+)", out)
-        assert m, f"pid {i}: no LOSS line\n{err[-1500:]}"
-        got = (float(m[1]), float(m[2]))
+        got = _worker_losses(out, err, f"pid {i}")
         np.testing.assert_allclose(got, want, rtol=2e-6)
         # multihost checkpoint contract: ZeRO-3-sharded save over shared
         # storage (lead-only sidecar, coordinated orbax_async) reloaded and
@@ -467,64 +481,14 @@ def test_four_process_dp_sp_mesh_matches_single_process():
     devices hold the spatial columns, a layout the two-process pair cannot
     exercise — and the train-step losses must match one process owning all 8
     devices (tests/_two_process_worker.py --num-procs 4 --spatial 2)."""
-    import re
-    import socket
-    import subprocess
-    import sys
+    single = _run_single_worker(["--single", "--spatial", "2"])
+    want = _worker_losses(single.stdout, single.stderr, "single")
 
-    worker = str(Path(__file__).parent / "_two_process_worker.py")
-    worker_env = _worker_env()
-
-    def losses(out, err, who):
-        m = re.search(r"LOSS ([\d.]+) ([\d.]+)", out)
-        assert m, f"{who}: no LOSS line\nstdout={out[-500:]}\nstderr={err[-1500:]}"
-        return float(m[1]), float(m[2])
-
-    single = subprocess.run(
-        [sys.executable, worker, "--single", "--spatial", "2"],
-        capture_output=True, text=True, timeout=240, env=worker_env,
+    outs = _run_coordinated_workers(
+        ["--num-procs", "4", "--spatial", "2"], 4, "four-process"
     )
-    assert single.returncode == 0, single.stderr[-1500:]
-    want = losses(single.stdout, single.stderr, "single")
-
-    def launch():
-        s = socket.socket()
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-        s.close()
-        procs = [
-            subprocess.Popen(
-                [sys.executable, worker, "--pid", str(i), "--port", str(port),
-                 "--num-procs", "4", "--spatial", "2"],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-                env=worker_env,
-            )
-            for i in range(4)
-        ]
-        try:
-            return procs, [p.communicate(timeout=240) for p in procs]
-        except subprocess.TimeoutExpired:
-            for p in procs:
-                if p.poll() is None:
-                    p.kill()
-                    p.communicate(timeout=60)
-            raise
-
-    procs, outs = launch()
-    stderr = "\n".join(e for _, e in outs)
-    if any(p.returncode for p in procs) and (
-        "address already in use" in stderr.lower() or "failed to bind" in stderr.lower()
-    ):
-        procs, outs = launch()
-        stderr = "\n".join(e for _, e in outs)
-    if any(p.returncode for p in procs):
-        forbidden = "must be called before any JAX calls" in stderr or (
-            "UNAVAILABLE" in stderr and "coordination" in stderr.lower()
-        )
-        assert forbidden, f"four-process run failed:\n{stderr[-2000:]}"
-        pytest.skip(f"runtime forbids jax.distributed on CPU: {stderr[-300:]}")
     for i, (out, err) in enumerate(outs):
-        np.testing.assert_allclose(losses(out, err, f"pid {i}"), want, rtol=2e-6)
+        np.testing.assert_allclose(_worker_losses(out, err, f"pid {i}"), want, rtol=2e-6)
 
 
 @pytest.mark.slow
@@ -533,64 +497,12 @@ def test_two_process_trainer_epoch_matches_single_process():
     a process-spanning mesh, jitted donated step, device-side log
     accumulation — run by two coordinated processes must log the same losses
     as one process owning all 8 devices (_two_process_worker.py --trainer)."""
-    import re
-    import socket
-    import subprocess
-    import sys
+    single = _run_single_worker(["--single", "--trainer"])
+    want = _worker_losses(single.stdout, single.stderr, "single")
 
-    worker = str(Path(__file__).parent / "_two_process_worker.py")
-    worker_env = _worker_env()
-
-    def losses(out, err, who):
-        m = re.search(r"LOSS ([\d.]+) ([\d.]+)", out)
-        assert m, f"{who}: no LOSS line\nstdout={out[-500:]}\nstderr={err[-1500:]}"
-        return float(m[1]), float(m[2])
-
-    single = subprocess.run(
-        [sys.executable, worker, "--single", "--trainer"],
-        capture_output=True, text=True, timeout=240, env=worker_env,
-    )
-    assert single.returncode == 0, single.stderr[-1500:]
-    want = losses(single.stdout, single.stderr, "single")
-
-    def launch():
-        s = socket.socket()
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-        s.close()
-        procs = [
-            subprocess.Popen(
-                [sys.executable, worker, "--pid", str(i), "--port", str(port),
-                 "--trainer"],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-                env=worker_env,
-            )
-            for i in range(2)
-        ]
-        try:
-            return procs, [p.communicate(timeout=240) for p in procs]
-        except subprocess.TimeoutExpired:
-            for p in procs:
-                if p.poll() is None:
-                    p.kill()
-                    p.communicate(timeout=60)
-            raise
-
-    procs, outs = launch()
-    stderr = "\n".join(e for _, e in outs)
-    if any(p.returncode for p in procs) and (
-        "address already in use" in stderr.lower() or "failed to bind" in stderr.lower()
-    ):
-        procs, outs = launch()
-        stderr = "\n".join(e for _, e in outs)
-    if any(p.returncode for p in procs):
-        forbidden = "must be called before any JAX calls" in stderr or (
-            "UNAVAILABLE" in stderr and "coordination" in stderr.lower()
-        )
-        assert forbidden, f"two-process trainer run failed:\n{stderr[-2000:]}"
-        pytest.skip(f"runtime forbids jax.distributed on CPU: {stderr[-300:]}")
+    outs = _run_coordinated_workers(["--trainer"], 2, "two-process trainer")
     for i, (out, err) in enumerate(outs):
-        np.testing.assert_allclose(losses(out, err, f"pid {i}"), want, rtol=2e-6)
+        np.testing.assert_allclose(_worker_losses(out, err, f"pid {i}"), want, rtol=2e-6)
 
 
 @pytest.mark.slow
