@@ -289,7 +289,7 @@ def main():
         except Exception as e:  # keep the headline metric robust
             train = {"error": str(e)[:200]}
     else:
-        measured_at = "ca0bd49"
+        measured_at = "2f2d030"
         try:
             import subprocess
 
@@ -300,11 +300,11 @@ def main():
         except Exception:
             head = None
         train = {
-            "steps_per_sec": 3.45,
+            "steps_per_sec": 3.43,
             "batch": 16,
             "note": "cached measurement; set EVSR_BENCH_TRAIN=1 to remeasure",
-            "measured_at_commit": f"{measured_at} (round 3; 3.453 measured "
-            "fresh at this commit, 3.45-3.6 across rounds 2-3, "
+            "measured_at_commit": f"{measured_at} (round 3; 3.433 measured "
+            "fresh at this commit, 3.43-3.6 across rounds 2-3, "
             "fetch-amortized protocol)",
             # honest-staleness flag: HEAD moved since the measurement, so a
             # training-path regression after that commit would not show here
