@@ -85,12 +85,14 @@ def bench_jax(iters: int = 10, warmup: int = 2, compute_dtype=None) -> dict:
     if compute_dtype is None:
         try:
             compiled = forward.lower(variables, lr_d, pos_d).compile()
+            # reuse the executable even if cost_analysis below raises —
+            # otherwise an analysis-less backend would pay the compile TWICE
+            forward = compiled
             cost = compiled.cost_analysis()
             if isinstance(cost, list):
                 cost = cost[0]
             flops = float(cost.get("flops", float("nan")))
             flops_per_clip = None if np.isnan(flops) else flops
-            forward = compiled
         except Exception:
             flops_per_clip = None
     _, chk = forward(variables, lr_d, pos_d)

@@ -77,8 +77,11 @@ class Dataloader:
             try:
                 dataset.__getitem__(0, rng=item_rng(0, 0))
                 self._getitem_takes_rng = True
-            except TypeError:
-                self._getitem_takes_rng = False
+            except TypeError as e:
+                # a BIND failure raises from the call site itself (no callee
+                # frame on the traceback); a TypeError from inside the body
+                # means the rng kwarg bound fine
+                self._getitem_takes_rng = e.__traceback__.tb_next is not None
             except Exception:
                 self._getitem_takes_rng = True
 

@@ -34,6 +34,53 @@ def cluster_env_present() -> bool:
     return any(os.environ.get(v) for v in _CLUSTER_ENV_VARS)
 
 
+def _multiprocess_active() -> bool:
+    """True when >1 coordinated process — and, when so, disarm the known
+    persistent-cache/Gloo deadlock before any compilation happens."""
+    import jax
+
+    active = jax.process_count() > 1
+    if active:
+        _disable_persistent_cache_for_gloo()
+    return active
+
+
+def _disable_persistent_cache_for_gloo() -> None:
+    """Turn off the persistent compile cache for multi-process CPU runs.
+
+    With a shared cache, coordinated processes get ASYMMETRIC cache hits: one
+    process reaches execution (and registers its Gloo sub-communicators
+    inside the first collective) while a peer is still compiling the same
+    graph, and the 30 s GetKeyValue rendezvous deadline expires ("Gloo
+    context initialization failed: DEADLINE_EXCEEDED" — measured with the
+    4-process CPU mesh test, tests/test_parallel.py).  Compilation must stay
+    symmetric across processes, so the cache is disabled process-wide here —
+    once, at the production entry point, rather than by hand-stripping envs
+    at every jax.distributed call site.  TPU/GPU runtimes use the
+    coordination-service barriers (not Gloo's fixed connect deadline) and
+    keep the cache.
+    """
+    import jax
+
+    if jax.default_backend() != "cpu":
+        return
+    try:
+        cache_dir = jax.config.jax_compilation_cache_dir
+    except AttributeError:  # config name drift across jax versions
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache_dir:
+        return
+    logger.warning(
+        "Disabling the persistent compilation cache for this multi-process "
+        "CPU run: asymmetric cache hits deadlock Gloo rendezvous "
+        "(parallel/distributed.py:_disable_persistent_cache_for_gloo)."
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+    except Exception as e:  # never let a cache knob kill a training run
+        logger.warning(f"could not disable the persistent compile cache: {e}")
+
+
 def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -54,12 +101,12 @@ def initialize(
     # previous call; secondary: jax's (private, best-effort) client handle.
     global _initialized
     if _initialized:
-        return jax.process_count() > 1
+        return _multiprocess_active()
     try:
         from jax._src import distributed as _dist
 
         if getattr(_dist.global_state, "client", None) is not None:
-            return jax.process_count() > 1  # already initialized
+            return _multiprocess_active()  # already initialized
     except Exception:
         pass
     if coordinator_address is None and not cluster_env_present():
@@ -75,7 +122,7 @@ def initialize(
             f"of {jax.process_count()}."
         )
         globals()["_initialized"] = True
-        return jax.process_count() > 1
+        return _multiprocess_active()
     except Exception as e:
         logger.warning(f"jax.distributed.initialize failed ({e}); continuing single-host.")
         return False

@@ -312,9 +312,9 @@ def main(out: Path, data_root: str, models_root: str):
     # (max_flow=4 px) — the bilinear GATHER measured ~16x a dense conv on
     # chip, and the windowed path is exact while true flows stay within 4 px
     # (cardiac inter-frame motion; perf_probe --probes warp,toflow_full,
-    # frvsr_full: TOFlow 3.1x, FRVSR 5.4x full-net).  Remove max_flow for
+    # frvsr_full: TOFlow 3.1x, FRVSR 5.3x full-net).  Remove max_flow for
     # exact unbounded semantics.
-    for fam, speed in (("toflow_net", "3.1x"), ("frvsr_net", "5.4x")):
+    for fam in ("toflow_net", "frvsr_net"):
         warp_tpu = test_config(fam, 4, data_root, models_root, suffix="_tpu")
         warp_tpu["main"]["loaded_path"] = (
             f"{models_root}/acdc/{fam}/exp1_x4/train/checkpoints/model_best.pth"

@@ -688,3 +688,35 @@ def test_make_mesh_rejects_oversubscription():
     cryptic numpy reshape error (the single-chip-runs-a-pod-config case)."""
     with pytest.raises(ValueError, match="only .* visible"):
         make_mesh(len(jax.devices()) + 1)
+
+
+def test_multiprocess_cpu_disables_persistent_compile_cache(monkeypatch):
+    """The Gloo-deadlock guard lives at the production entry point: a
+    multi-process CPU runtime turns the persistent compile cache off
+    (asymmetric cache hits blow the 30 s rendezvous deadline — see
+    _disable_persistent_cache_for_gloo), while single-process and
+    non-CPU runs keep it."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parallel import (
+        distributed,
+    )
+
+    original = jax.config.jax_compilation_cache_dir
+    assert original, "conftest should have pinned a persistent cache dir"
+    try:
+        # single-process: untouched
+        monkeypatch.setattr(jax, "process_count", lambda: 1)
+        assert distributed._multiprocess_active() is False
+        assert jax.config.jax_compilation_cache_dir == original
+
+        # multi-process on a non-CPU backend: untouched
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert distributed._multiprocess_active() is True
+        assert jax.config.jax_compilation_cache_dir == original
+
+        # multi-process on CPU: cache disabled
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert distributed._multiprocess_active() is True
+        assert not jax.config.jax_compilation_cache_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", original)
