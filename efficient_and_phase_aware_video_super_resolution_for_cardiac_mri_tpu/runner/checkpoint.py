@@ -61,6 +61,13 @@ def save_checkpoint(path, *, params, model_state=None, opt_state=None,
         # pickle backend on shared storage: one writer, or the processes
         # corrupt the file racing each other (orbax backends coordinate)
         return
+    if path.is_dir():
+        # same path previously written by an orbax backend (resume with a
+        # different checkpoint_backend): os.replace(file, dir) would raise
+        import shutil
+
+        wait_for_async_saves()
+        shutil.rmtree(path)
     # write-then-rename so a crash mid-dump never leaves a truncated file
     # that auto-resume would pick as the newest checkpoint (the atomic-rename
     # commit the orbax path gets from its arrays tree)
@@ -114,7 +121,13 @@ def _save_orbax(path: Path, payload: dict, asynchronous: bool = False) -> None:
         # directory is replaced out from under it
         wait_for_async_saves()
         if is_lead:
-            shutil.rmtree(path, ignore_errors=True)
+            if path.is_dir():
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                # same path previously written by the pickle backend (resume
+                # with a different checkpoint_backend): a FILE here would make
+                # the mkdir below raise FileExistsError
+                path.unlink(missing_ok=True)
     if jax.process_count() > 1:
         # the lead's rmtree must land before any process writes arrays, and
         # every host must enter the (coordinated) orbax save together

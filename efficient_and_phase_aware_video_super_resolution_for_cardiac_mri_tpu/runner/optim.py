@@ -40,7 +40,12 @@ def _sgd(lr, momentum=0.0, weight_decay=0.0, nesterov=False, **_):
 
 
 def _rmsprop(lr=1e-2, alpha=0.99, eps=1e-8, weight_decay=0.0, momentum=0.0, **_):
-    base = optax.rmsprop(lr, decay=alpha, eps=eps, momentum=momentum or None)
+    # torch.optim.RMSprop puts eps OUTSIDE the sqrt (g / (sqrt(v) + eps));
+    # optax defaults to eps_in_sqrt=True, which changes early-step magnitudes
+    # by orders of magnitude at the torch-default eps=1e-8
+    base = optax.rmsprop(
+        lr, decay=alpha, eps=eps, eps_in_sqrt=False, momentum=momentum or None
+    )
     if weight_decay:
         base = optax.chain(optax.add_decayed_weights(weight_decay), base)
     return base
@@ -49,14 +54,34 @@ def _rmsprop(lr=1e-2, alpha=0.99, eps=1e-8, weight_decay=0.0, momentum=0.0, **_)
 _FACTORIES = {"Adam": _adam, "AdamW": _adamw, "SGD": _sgd, "RMSprop": _rmsprop}
 
 
+def _find_apply_if_finite(state):
+    """Locate the (outermost) ApplyIfFiniteState in an optax state pytree."""
+    if isinstance(state, optax.ApplyIfFiniteState):
+        return state
+    if isinstance(state, (tuple, list)):
+        for child in state:
+            found = _find_apply_if_finite(child)
+            if found is not None:
+                return found
+    elif isinstance(state, dict):
+        for child in state.values():
+            found = _find_apply_if_finite(child)
+            if found is not None:
+                return found
+    return None
+
+
 class Optimizer:
     """optax transform + the base lr, wrapped with inject_hyperparams.
 
     Framework extensions beyond the torch kwargs (the reference has neither):
     ``grad_clip_norm`` chains a global-norm clip before the update, and
     ``skip_nonfinite: N`` wraps with ``optax.apply_if_finite`` so a NaN/inf
-    gradient skips the update instead of poisoning the params (errors out
-    after N consecutive bad steps).
+    gradient skips the update instead of poisoning the params.  A bad update
+    is NEVER applied (optax's own give-up-and-apply after N errors is
+    disabled); instead the trainer calls :meth:`check_nonfinite` at each
+    epoch boundary and aborts with a clear error once N consecutive steps
+    were skipped — params and checkpoints stay clean either way.
     """
 
     def __init__(self, name: str, **kwargs):
@@ -65,7 +90,8 @@ class Optimizer:
         lr = kwargs.pop("lr", None)
         self.base_lr = 1e-3 if lr is None else float(lr)
         grad_clip_norm = kwargs.pop("grad_clip_norm", None)
-        skip_nonfinite = kwargs.pop("skip_nonfinite", 0)
+        self.skip_nonfinite = int(kwargs.pop("skip_nonfinite", 0))
+        skip_nonfinite = self.skip_nonfinite
         factory = _FACTORIES[name]
 
         def build(learning_rate):
@@ -73,10 +99,34 @@ class Optimizer:
             if grad_clip_norm:
                 tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
             if skip_nonfinite:
-                tx = optax.apply_if_finite(tx, max_consecutive_errors=int(skip_nonfinite))
+                # 2**31-1: never let optax "give up and apply" the NaN update
+                # (its documented behavior past max_consecutive_errors) —
+                # the error-out contract is enforced host-side in
+                # check_nonfinite with the configured N
+                tx = optax.apply_if_finite(tx, max_consecutive_errors=2**31 - 1)
             return tx
 
         self.tx = optax.inject_hyperparams(build)(learning_rate=self.base_lr)
+
+    def check_nonfinite(self, opt_state) -> int:
+        """Epoch-boundary guard for ``skip_nonfinite``: raise once N
+        consecutive steps produced non-finite updates (every one of which was
+        skipped, so params are still clean), and return the total number of
+        skipped steps so far for logging.  Costs one scalar fetch."""
+        if not self.skip_nonfinite:
+            return 0
+        state = _find_apply_if_finite(opt_state)
+        if state is None:
+            return 0
+        consecutive = int(state.notfinite_count)
+        if consecutive >= self.skip_nonfinite:
+            raise RuntimeError(
+                f"{consecutive} consecutive non-finite gradient steps (the "
+                f"configured skip_nonfinite limit is {self.skip_nonfinite}). "
+                f"Every bad update was skipped — params and checkpoints are "
+                f"finite — but the run has diverged; aborting."
+            )
+        return int(state.total_notfinite)
 
     def init(self, params):
         return self.tx.init(params)

@@ -30,6 +30,7 @@ from ..parallel import gather_for_compute, partition_tree, shard_batch
 from ..utils.casting import cast_floating
 from ..utils.stats import get_stats
 from . import checkpoint as ckpt_io
+from . import common
 
 LOG = logging.getLogger(__name__)
 
@@ -108,10 +109,7 @@ class BasePredictor:
         self.mean, self.std = get_stats(self.dataset_stats)
         self.params = None
         self.model_state = {}
-        self._accepts_train = (
-            net is not None
-            and "train" in inspect.signature(type(net).__call__).parameters
-        )
+        self._accepts_train = common.accepts_train_kwarg(net)
         self._step = None
         self.log = None
         self.throughput = {"frames_per_sec": 0.0, "frames": 0}
@@ -124,7 +122,7 @@ class BasePredictor:
         raise NotImplementedError
 
     def _denorm(self, x):
-        return jnp.clip(jnp.round(x * self.std + self.mean), 0, 255)
+        return common.denorm_uint8(x, self.mean, self.std)
 
     def _select_output(self, outputs):
         return outputs
@@ -224,12 +222,7 @@ class BasePredictor:
         return jnp.stack(cols)[None, :]
 
     def _init_log(self):
-        log = {"Loss": 0.0}
-        for fn in self.loss_fns:
-            log[fn.name] = 0.0
-        for fn in self.metric_fns:
-            log[fn.name] = 0.0
-        return log
+        return common.init_log(self.loss_fns, self.metric_fns)
 
     def _item_meta(self, index: int):
         """(patient, sid, filename) parsed from the dataset path
@@ -493,9 +486,7 @@ class FRVSRPredictor(VSRPredictor):
 
 
 def _register(workload: str, cls):
-    for prefix, stats in (("Acdc", "acdc"), ("Dsb15", "dsb15")):
-        name = f"{prefix}{workload}Predictor"
-        PREDICTORS.add(name, type(name, (cls,), {"dataset_stats": stats}))
+    common.register_dataset_variants(PREDICTORS, workload, "Predictor", cls)
 
 
 _register("SISR", SISRPredictor)

@@ -36,6 +36,7 @@ from ..utils.profiling import trace
 from ..utils.seeding import SeedState, seed_everything
 from ..utils.stats import get_stats
 from . import checkpoint as ckpt_io
+from . import common
 
 LOG = logging.getLogger(__name__)
 
@@ -116,10 +117,7 @@ class BaseTrainer:
         self.params = None
         self.opt_state = None
         self.model_state = {}  # extra collections (e.g. batch_stats for BN nets)
-        self._accepts_train = (
-            net is not None
-            and "train" in inspect.signature(type(net).__call__).parameters
-        )
+        self._accepts_train = common.accepts_train_kwarg(net)
         self._train_step = None
         self._eval_step = None
         self.throughput = {"train_steps_per_sec": 0.0, "frames_per_sec": 0.0}
@@ -148,7 +146,7 @@ class BaseTrainer:
         return loader.batch_size
 
     def _denorm(self, x):
-        return jnp.clip(jnp.round(x * self.std + self.mean), 0, 255)
+        return common.denorm_uint8(x, self.mean, self.std)
 
     # --------------------------------------------------------------- engine
     def init_params(self, batch, rng_key=None):
@@ -292,12 +290,7 @@ class BaseTrainer:
         self._eval_step = eval_step
 
     def _init_log(self):
-        log = {"Loss": 0.0}
-        for fn in self.loss_fns:
-            log[fn.name] = 0.0
-        for fn in self.metric_fns:
-            log[fn.name] = 0.0
-        return log
+        return common.init_log(self.loss_fns, self.metric_fns)
 
     def _device_prefetch(self, loader, lookahead: int = 1):
         """Double-buffered host→device pipeline (SURVEY §7): the next batch is
@@ -320,6 +313,7 @@ class BaseTrainer:
         # step (float()) would sync the pipeline every batch and serialize
         # host and device.  One transfer at epoch end instead.
         acc_total = acc_losses = acc_metrics = None
+        frames = 0
         t0 = time.perf_counter()
         for batch, device_batch in self._device_prefetch(loader):
             if self.params is None:
@@ -350,6 +344,12 @@ class BaseTrainer:
                 acc_metrics = [a + m * w for a, m in zip(acc_metrics, metrics)]
             count += w
             steps += 1
+            # LR frames consumed this step: (B, T, ...) video or (B, ...) image
+            imgs = batch.get("lr_imgs")
+            if imgs is not None:
+                frames += int(imgs.shape[0] * imgs.shape[1])
+            elif batch.get("lr_img") is not None:
+                frames += int(batch["lr_img"].shape[0])
         log = self._init_log()
         if acc_total is not None:
             log["Loss"] = float(acc_total)
@@ -361,6 +361,7 @@ class BaseTrainer:
         elapsed = max(time.perf_counter() - t0, 1e-9)
         if mode == "training" and steps:
             self.throughput["train_steps_per_sec"] = steps / elapsed
+            self.throughput["frames_per_sec"] = frames / elapsed
         for key in log:
             log[key] /= max(count, 1)
         return log, batch, outputs
@@ -411,6 +412,10 @@ class BaseTrainer:
                 f"Train log: {train_log} "
                 f"({self.throughput['train_steps_per_sec']:.2f} steps/sec)."
             )
+            if self.optimizer is not None and getattr(self.optimizer, "skip_nonfinite", 0):
+                skipped = self.optimizer.check_nonfinite(self.opt_state)  # raises on divergence
+                if skipped:
+                    LOG.warning(f"{skipped} non-finite gradient steps skipped so far.")
             with trace(f"valid_epoch_{self.epoch}"):
                 valid_log, valid_batch, valid_outputs = self._run_epoch("validation")
             LOG.info(f"Valid log: {valid_log}.")
@@ -420,14 +425,9 @@ class BaseTrainer:
                 self.opt_state = self.optimizer.set_lr(self.opt_state, new_lr)
 
             if self.logger is not None:
-                self.logger.write(
-                    self.epoch,
-                    train_log,
-                    train_batch,
-                    np.asarray(train_outputs) if train_outputs is not None else None,
-                    valid_log,
-                    valid_batch,
-                    np.asarray(valid_outputs) if valid_outputs is not None else None,
+                self._write_logs(
+                    train_log, train_batch, train_outputs,
+                    valid_log, valid_batch, valid_outputs,
                 )
 
             saved_path = self.monitor.is_saved(self.epoch) if self.monitor else None
@@ -457,6 +457,21 @@ class BaseTrainer:
         ckpt_io.wait_for_async_saves()
         if self.logger is not None:
             self.logger.close()
+
+    def _write_logs(self, train_log, train_batch, train_outputs,
+                    valid_log, valid_batch, valid_outputs):
+        """Epoch TensorBoard write.  Display outputs may be sharded over a
+        data axis spanning processes (multi-host), where a bare np.asarray
+        raises on non-addressable shards; ``ckpt_io._to_numpy`` reshards to
+        replicated first — a collective, so EVERY process must run the
+        gather — and only the lead writes (one SummaryWriter per log dir)."""
+        train_np = ckpt_io._to_numpy(train_outputs) if train_outputs is not None else None
+        valid_np = ckpt_io._to_numpy(valid_outputs) if valid_outputs is not None else None
+        if jax.process_index() == 0:
+            self.logger.write(
+                self.epoch, train_log, train_batch, train_np,
+                valid_log, valid_batch, valid_np,
+            )
 
     # ----------------------------------------------------------- checkpoint
     def save(self, path):
@@ -645,9 +660,7 @@ class FRVSRTrainer(VSRTrainer):
 
 # Register ACDC/DSB15 twins with their stats baked in.
 def _register(workload: str, cls):
-    for prefix, stats in (("Acdc", "acdc"), ("Dsb15", "dsb15")):
-        name = f"{prefix}{workload}Trainer"
-        TRAINERS.add(name, type(name, (cls,), {"dataset_stats": stats}))
+    common.register_dataset_variants(TRAINERS, workload, "Trainer", cls)
 
 
 _register("SISR", SISRTrainer)

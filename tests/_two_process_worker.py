@@ -54,6 +54,12 @@ def main():
     parser.add_argument("--spatial", type=int, default=1)
     parser.add_argument("--ckpt-dir", default=None)
     parser.add_argument(
+        "--logdir", default=None,
+        help="with --trainer: wire a TensorBoard logger and exercise the "
+        "multi-host _write_logs path (collective gather of the sharded "
+        "display outputs + lead-only SummaryWriter write)",
+    )
+    parser.add_argument(
         "--trainer", action="store_true",
         help="drive the REAL BaseTrainer epoch engine (loader -> "
         "shard_batch device_put with a process-spanning mesh -> jitted "
@@ -241,8 +247,28 @@ def _run_trainer_epoch(args):
         mesh=make_mesh(spatial_parallel=args.spatial),
         seed_state=None,
     )
-    train_log, _, _ = trainer._run_epoch("training")
-    valid_log, _, _ = trainer._run_epoch("validation")
+    if args.logdir:
+        from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import (
+            LOGGERS,
+        )
+
+        # every process constructs the logger (as main.py does); only the
+        # lead writes inside _write_logs
+        trainer.logger = LOGGERS.get("AcdcVSRLogger")(log_dir=args.logdir)
+
+    train_log, train_batch, train_outputs = trainer._run_epoch("training")
+    valid_log, valid_batch, valid_outputs = trainer._run_epoch("validation")
+    if trainer.logger is not None:
+        # the display outputs are sharded over the process-spanning data
+        # axis (NOT fully addressable here) — the regression this guards:
+        # a bare np.asarray in the logger path would raise
+        assert not train_outputs.is_fully_addressable
+        trainer._write_logs(
+            train_log, train_batch, train_outputs,
+            valid_log, valid_batch, valid_outputs,
+        )
+        trainer.logger.close()
+        print("TB_OK", flush=True)
     print(f"LOSS {train_log['Loss']:.8f} {valid_log['Loss']:.8f}", flush=True)
 
 

@@ -162,6 +162,7 @@ def test_training_runs_and_checkpoints(trained):
     assert (saved_dir / "checkpoints" / "model_best.pth").exists()
     assert trainer.epoch == 3  # ran 2 epochs
     assert trainer.throughput["train_steps_per_sec"] > 0
+    assert trainer.throughput["frames_per_sec"] > 0
 
 
 def test_training_loss_is_finite_and_decreasing_signal(trained):

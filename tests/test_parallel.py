@@ -492,17 +492,25 @@ def test_four_process_dp_sp_mesh_matches_single_process():
 
 
 @pytest.mark.slow
-def test_two_process_trainer_epoch_matches_single_process():
+def test_two_process_trainer_epoch_matches_single_process(tmp_path):
     """The REAL trainer epoch engine — loader, shard_batch's device_put onto
     a process-spanning mesh, jitted donated step, device-side log
     accumulation — run by two coordinated processes must log the same losses
-    as one process owning all 8 devices (_two_process_worker.py --trainer)."""
+    as one process owning all 8 devices (_two_process_worker.py --trainer).
+    --logdir additionally drives the multi-host TensorBoard path: the display
+    outputs are NOT fully addressable per process, so _write_logs must gather
+    collectively and write from the lead only."""
     single = _run_single_worker(["--single", "--trainer"])
     want = _worker_losses(single.stdout, single.stderr, "single")
 
-    outs = _run_coordinated_workers(["--trainer"], 2, "two-process trainer")
+    logdir = tmp_path / "tb"
+    outs = _run_coordinated_workers(
+        ["--trainer", "--logdir", str(logdir)], 2, "two-process trainer"
+    )
     for i, (out, err) in enumerate(outs):
         np.testing.assert_allclose(_worker_losses(out, err, f"pid {i}"), want, rtol=2e-6)
+        assert "TB_OK" in out, f"pid {i}: no TB_OK\n{err[-1500:]}"
+    assert list(logdir.glob("events*")), "lead process wrote no TB events"
 
 
 @pytest.mark.slow

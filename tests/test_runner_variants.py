@@ -271,6 +271,19 @@ def test_optimizer_grad_clip_and_nonfinite_skip():
     updates, state = opt.update({"w": jnp.full((4,), np.nan)}, state, params)
     skipped = optax.apply_updates(params, updates)
     np.testing.assert_array_equal(np.asarray(skipped["w"]), np.asarray(params["w"]))
+    # below the limit: check passes and reports the skipped total
+    assert opt.check_nonfinite(state) == 1
+    # a finite step resets the consecutive count
+    updates, state = opt.update({"w": jnp.ones((4,))}, state, params)
+    assert opt.check_nonfinite(state) == 1
+    # N consecutive bad steps: the update is STILL skipped (optax's
+    # give-up-and-apply is disabled) and check_nonfinite raises
+    for _ in range(3):
+        updates, state = opt.update({"w": jnp.full((4,), np.nan)}, state, params)
+        still = optax.apply_updates(params, updates)
+        np.testing.assert_array_equal(np.asarray(still["w"]), np.asarray(params["w"]))
+    with pytest.raises(RuntimeError, match="3 consecutive non-finite"):
+        opt.check_nonfinite(state)
     # lr still adjustable through the wrapper chain
     Optimizer.set_lr(state, 0.5)
 
@@ -544,3 +557,23 @@ def test_reduce_lr_on_plateau_matches_torch():
             theirs.step(loss)
             want = opt.param_groups[0]["lr"]
             assert got == pytest.approx(want, rel=1e-12), (kwargs, i, got, want)
+
+
+def test_checkpoint_backend_switch_same_path(tmp_path):
+    """Resuming the same saved_dir with a different checkpoint_backend must
+    overwrite the other format in place: pickle writes a FILE, orbax a
+    DIRECTORY, and model_best.pth keeps its name either way."""
+    import jax.numpy as jnp
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner import (
+        checkpoint as ckpt_io,
+    )
+
+    params = {"w": jnp.arange(4.0)}
+    path = tmp_path / "model_best.pth"
+    for backend, epoch in (("pickle", 1), ("orbax", 2), ("pickle", 3), ("orbax_async", 4), ("pickle", 5)):
+        ckpt_io.save_checkpoint(path, params=params, epoch=epoch, backend=backend)
+        ckpt_io.wait_for_async_saves()
+        restored = ckpt_io.load_checkpoint(path)
+        assert restored["epoch"] == epoch
+        np.testing.assert_array_equal(np.asarray(restored["net"]["w"]), np.arange(4.0))
