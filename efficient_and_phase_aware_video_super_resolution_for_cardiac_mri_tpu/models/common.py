@@ -238,3 +238,35 @@ def sg(x):
 
 
 Shape = Sequence[int]
+
+#: back-projection (k, stride, pad) per upscale factor — the reference's
+#: shared projection table (``srfbn.py`` / ``rbpn.py`` both hardcode it)
+PROJ_PARAMS = {2: (6, 2, 2), 3: (7, 3, 2), 4: (8, 4, 2), 8: (12, 8, 2)}
+
+
+def pad_to_multiple(x, mult, axes=(-3, -2)):
+    """Pad spatial dims to a multiple with the array's min value (the
+    reference nets' ``F.pad(value=x.min())`` + center-crop quirk, shared by
+    TOFlow/SpyNet (x16), FNet (x8) and EDVR (x4)).  Returns
+    ``(padded, crop_slices)`` — ``crop_slices`` is ``None`` when no padding
+    was needed, else a tuple of slices AT INPUT SCALE (scale the H/W slices
+    when cropping an upscaled output, as EDVR does)."""
+    pads = [(0, 0)] * x.ndim
+    crops = [slice(None)] * x.ndim
+    needed = False
+    for ax in axes:
+        size = x.shape[ax]
+        diff = (mult - size % mult) % mult
+        if diff:
+            needed = True
+            lo, hi = diff // 2, diff - diff // 2
+            pads[ax % x.ndim] = (lo, hi)
+            crops[ax % x.ndim] = slice(lo, lo + size)
+    if not needed:
+        return x, None
+    padded = jax.lax.pad(
+        x,
+        jnp.min(x).astype(x.dtype),
+        [(lo, hi, 0) for lo, hi in pads],
+    )
+    return padded, tuple(crops)

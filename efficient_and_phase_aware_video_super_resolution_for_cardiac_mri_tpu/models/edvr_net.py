@@ -18,12 +18,11 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.deform_conv import modulated_deform_conv2d
 from ..ops.pixel_shuffle import pixel_shuffle
 from ..ops.resize import resize_bilinear, upsample_bilinear
-from .common import conv, fold_time, unfold_time
+from .common import conv, fold_time, pad_to_multiple, unfold_time
 from ..ops.torch_init import torch_conv_kernel_init
 
 
@@ -259,12 +258,8 @@ class EDVRNet(nn.Module):
         nf = self.nf
         center = self.nframes // 2 if self.center is None else self.center
         x = lr_imgs
+        x, crops = pad_to_multiple(x, 4, axes=(-3, -2))
         B, N, H, W, C = x.shape
-        dh, dw = (4 - H % 4) % 4, (4 - W % 4) % 4
-        if dh or dw:
-            pads = [(0, 0, 0), (0, 0, 0), (dh // 2, dh - dh // 2, 0), (dw // 2, dw - dw // 2, 0), (0, 0, 0)]
-            x = jax.lax.pad(x, jnp.min(x).astype(x.dtype), pads)
-            B, N, H, W, C = x.shape
         x_center = x[:, center]
 
         folded, spec = fold_time(x)
@@ -320,7 +315,7 @@ class EDVRNet(nn.Module):
 
         base = x_center if self.HR_in else upsample_bilinear(x_center, 4, align_corners=False)
         out = out + base
-        if dh or dw:
-            h0, w0 = (dh // 2) * 4, (dw // 2) * 4
-            out = out[:, h0 : h0 + (H * 4 - dh * 4), w0 : w0 + (W * 4 - dw * 4)]
+        if crops is not None:
+            hs, ws = crops[-3], crops[-2]
+            out = out[:, hs.start * 4 : hs.stop * 4, ws.start * 4 : ws.stop * 4]
         return out

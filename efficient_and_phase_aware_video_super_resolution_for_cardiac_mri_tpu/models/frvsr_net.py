@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..ops.pixel_shuffle import space_to_depth
 from ..ops.resize import upsample_bilinear
 from ..ops.warp import stn_warp
-from .common import ConvTransposeTorch, conv, xavier_conv_init
+from .common import ConvTransposeTorch, conv, pad_to_multiple, xavier_conv_init
 
 _xconv = partial(conv, kernel_init=xavier_conv_init)
 
@@ -75,11 +75,7 @@ class FNet(nn.Module):
     @nn.compact
     def __call__(self, a, b):
         x = jnp.concatenate([a, b], axis=-1)
-        H, W = x.shape[-3], x.shape[-2]
-        dh, dw = (8 - H % 8) % 8, (8 - W % 8) % 8
-        if dh or dw:
-            pads = [(0, 0, 0), (dh // 2, dh - dh // 2, 0), (dw // 2, dw - dw // 2, 0), (0, 0, 0)]
-            x = jax.lax.pad(x, jnp.min(x).astype(x.dtype), pads)
+        x, crops = pad_to_multiple(x, 8, axes=(-3, -2))
 
         f, c_in = 32, self.in_channels * 2
         for i in range(3):
@@ -100,8 +96,8 @@ class FNet(nn.Module):
         x = nn.leaky_relu(x, 0.2)
         x = _xconv(self.out_channels, 3, 32, name="tail_conv2")(x)
         x = jnp.tanh(x)
-        if dh or dw:
-            x = x[:, dh // 2 : dh // 2 + H, dw // 2 : dw // 2 + W]
+        if crops is not None:
+            x = x[crops]
         return x
 
 

@@ -11,9 +11,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import ConvTransposeTorch, PReLU, conv
+from .common import PROJ_PARAMS as _PROJ, ConvTransposeTorch, PReLU, conv
 
-_PROJ = {2: (6, 2, 2), 3: (7, 3, 2), 4: (8, 4, 2), 8: (12, 8, 2)}
 
 
 class ConvBlock(nn.Module):

@@ -17,8 +17,11 @@ TPU-first redesign of reference ``src/model/nets/refine_net.py:10-344``:
 Faithfully replicated quirks (SURVEY.md §5):
   #3 — the refine body applies NO activation between its convs (the reference
        registers PReLUs on the wrong module, so forward never runs them).
-Fixed (not replicated): #2 — no hardcoded device; #4 — ``num_updated_frames=0``
-is handled instead of crashing.
+Fixed (not replicated): #2 — no hardcoded device; #4 — every
+``num_updated_frames`` U below ``refine_window_size // 2`` (including 0) is
+handled by edge-replication; the reference's ``refine_maps[i+U-half]`` wraps
+negative indices to the wrong end for such U and then IndexErrors at the tail
+frames, so it has NO defined behavior to replicate there.
 """
 from __future__ import annotations
 
@@ -275,9 +278,10 @@ class RefineNet(nn.Module):
             K = refine.shape[1]
 
             # Fused maps aligned to the core frames.  For U >= half this is the
-            # reference's exact slice (``:112``); for U < half (incl. 0 — where
-            # the reference crashes, quirk #4) edge maps are replicated so
-            # every core frame has a window.
+            # reference's exact slice (``:112``); for ANY U < half (0 included)
+            # the reference wraps negative indices to the wrong end and then
+            # IndexErrors at the tail frames (quirk #4) — edge maps are
+            # replicated here instead so every core frame has a window.
             start = U - half
             if start >= 0:
                 fused = refine[:, start : start + Tc]

@@ -13,9 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resize import upsample_bilinear
-from .common import ConvTransposeTorch, PReLU, UpsampleBlock, conv, fold_time, unfold_time
+from .common import PROJ_PARAMS as _PROJ, ConvTransposeTorch, PReLU, UpsampleBlock, conv, fold_time, unfold_time
 
-_PROJ = {2: (6, 2, 2), 3: (7, 3, 2), 4: (8, 4, 2), 8: (12, 8, 2)}
 
 
 class _LRFBlock(nn.Module):

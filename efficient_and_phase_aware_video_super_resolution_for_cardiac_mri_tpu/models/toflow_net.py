@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear, upsample_bicubic
 from ..ops.warp import flow_warp
-from .common import batch_norm, conv
+from .common import batch_norm, conv, pad_to_multiple
 
 
 class SpyNetBlock(nn.Module):
@@ -57,30 +57,6 @@ class SpyNet(nn.Module):
         return flow
 
 
-def _pad_to_multiple(x, mult, axes=(-3, -2)):
-    """Pad spatial dims to a multiple with the array's min value (the
-    reference's ``F.pad(value=x.min())``).  Returns (padded, crop_slices)."""
-    pads = [(0, 0)] * x.ndim
-    crops = [slice(None)] * x.ndim
-    needed = False
-    for ax in axes:
-        size = x.shape[ax]
-        diff = (mult - size % mult) % mult
-        if diff:
-            needed = True
-            lo, hi = diff // 2, diff - diff // 2
-            pads[ax % x.ndim] = (lo, hi)
-            crops[ax % x.ndim] = slice(lo, lo + size)
-    if not needed:
-        return x, None
-    padded = jax.lax.pad(
-        x,
-        jnp.min(x).astype(x.dtype),
-        [(lo, hi, 0) for lo, hi in pads],
-    )
-    return padded, tuple(crops)
-
-
 class TOFlowNet(nn.Module):
     """Reference ``toflow_net.py:8-67``."""
 
@@ -99,7 +75,7 @@ class TOFlowNet(nn.Module):
         T = self.num_frames
         ref_idx = T // 2 if T % 2 == 1 else T // 2 - 1
         x = upsample_bicubic(lr_imgs, self.upscale_factor, align_corners=False)
-        x, crops = _pad_to_multiple(x, 16, axes=(-3, -2))
+        x, crops = pad_to_multiple(x, 16, axes=(-3, -2))
         x_ref = x[:, ref_idx]
 
         spy = SpyNet(2 * self.in_channels + 2, max_flow=self.max_flow, name="spy_net")

@@ -21,7 +21,8 @@ Semantics replicated from the CUDA kernel:
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
+
+from .warp import _corner_weights
 
 
 def _bilinear_group_sample(x_g: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray) -> jnp.ndarray:
@@ -188,27 +189,27 @@ def deform_conv2d_windowed(
     base_y = jnp.arange(Ho, dtype=coord)[:, None] - padding
     base_x = jnp.arange(Wo, dtype=coord)[None, :] - padding
 
-    def shifted(sy: int, sx: int) -> jnp.ndarray:
-        """x_g sampled at (out_pixel + (sy, sx)) with zeros outside:
-        a static pad+slice, no gather.  Returns (B, Ho, Wo, dg, Cg)."""
-        y_lo, x_lo = sy - padding, sx - padding
-        pad_top = max(0, -y_lo)
-        pad_left = max(0, -x_lo)
-        pad_bottom = max(0, y_lo + Ho - H)
-        pad_right = max(0, x_lo + Wo - W)
-        xp = jnp.pad(
-            x_g,
-            ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right), (0, 0), (0, 0)),
-        )
-        y0, x0 = y_lo + pad_top, x_lo + pad_left
-        return xp[:, y0 : y0 + Ho, x0 : x0 + Wo]
+    # pad ONCE by the maximum displacement; every shifted view is then a
+    # static slice.  Shift range: sy = i + dy ∈ [-R, kh-1+R] in output
+    # coordinates, i.e. [-R-padding, ...] in input coordinates — padding+R
+    # on each side covers it exactly.  (Re-padding inside the K·(2R+1)² loop
+    # emitted hundreds of pad ops per layer and leaned on XLA CSE.)
+    pad_amt = padding + R
+    x_pad = jnp.pad(
+        x_g, ((0, 0), (pad_amt, pad_amt), (pad_amt, pad_amt), (0, 0), (0, 0))
+    )
+    _shift_cache: dict = {}
 
-    def corner_weights(o, d):
-        """(1−frac)·[d==floor] + frac·[d==floor+1]; grads flow through frac
-        only — identical to the CUDA bilinear derivative."""
-        fl = jnp.floor(o)
-        frac = o - fl
-        return jnp.where(d == fl, 1.0 - frac, 0.0) + jnp.where(d == fl + 1, frac, 0.0)
+    def shifted(sy: int, sx: int) -> jnp.ndarray:
+        """x_g sampled at (out_pixel + (sy, sx)) with zeros outside: a static
+        slice of the once-padded input, no gather; memoized — (sy, sx) pairs
+        recur across taps.  Returns (B, Ho, Wo, dg, Cg)."""
+        if (sy, sx) not in _shift_cache:
+            y0, x0 = sy + R, sx + R
+            _shift_cache[(sy, sx)] = x_pad[:, y0 : y0 + Ho, x0 : x0 + Wo]
+        return _shift_cache[(sy, sx)]
+
+    corner_weights = _corner_weights
 
     cols = []
     for tap in range(K):

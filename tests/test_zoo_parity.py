@@ -141,6 +141,15 @@ def test_frvsr_parity():
         _check(np.asarray(sr_g)[:, t], _nhwc(sr_w[t]), atol=5e-4)
         _check(np.asarray(lrw_g)[:, t], _nhwc(lr_w[t]), atol=5e-4)
 
+    # FNet's pad-to-/8 path (reference frvsr_net.py:81-87): non-multiple H/W
+    lr = np.random.default_rng(6).uniform(-1, 1, (1, 2, 10, 9, 1)).astype(np.float32)
+    with torch.no_grad():
+        sr_w, lr_w = ref(_to_torch_frames(lr))
+    sr_g, lrw_g = model.apply(variables, lr)
+    for t in range(2):
+        _check(np.asarray(sr_g)[:, t], _nhwc(sr_w[t]), atol=5e-4)
+        _check(np.asarray(lrw_g)[:, t], _nhwc(lr_w[t]), atol=5e-4)
+
 
 def test_rbp_parity():
     import torch
