@@ -251,42 +251,72 @@ class RandomElasticDeformation(BaseTransform):
         self.sigma = max(sigma, 1)
         self.prob = max(0.0, min(prob, 1.0))
 
-    def _dense_field(self, rng, spatial_shape):
+    def _coarse_fields(self, rng, ndim):
+        """One coarse N(0, σ²) control grid per axis, drawn ONCE per call so
+        every image in the tuple sees the same deformation.  ``None`` marks a
+        frozen axis: the reference ``params[0:len//3] = 0`` zeroes ITK
+        dimension 0 = the numpy LAST spatial axis (GetImageFromArray reverses
+        axis order), i.e. the depth/slice axis of an (H, W, D) volume —
+        slices stay rigid along z while in-plane deformation applies."""
+        return [
+            None
+            if ndim == 3 and axis == 2 and not self.do_z_deformation
+            else rng.normal(0.0, self.sigma, size=(self.num_ctrl_points,) * ndim)
+            for axis in range(ndim)
+        ]
+
+    @staticmethod
+    def _dense_from_coarse(coarse, spatial_shape, scales):
         from scipy.ndimage import zoom
 
-        ndim = len(spatial_shape)
         fields = []
-        for axis in range(ndim):
-            # reference ``params[0:len//3] = 0`` zeroes ITK dimension 0 =
-            # the numpy LAST spatial axis (GetImageFromArray reverses axis
-            # order), i.e. the depth/slice axis of an (H, W, D) volume —
-            # slices stay rigid along z while in-plane deformation applies
-            if ndim == 3 and axis == 2 and not self.do_z_deformation:
+        for axis, c in enumerate(coarse):
+            if c is None:
                 fields.append(np.zeros(spatial_shape, np.float32))
                 continue
-            coarse = rng.normal(0.0, self.sigma, size=(self.num_ctrl_points,) * ndim)
-            factors = [s / c for s, c in zip(spatial_shape, coarse.shape)]
-            dense = zoom(coarse, factors, order=3, mode="nearest")
+            factors = [s / cs for s, cs in zip(spatial_shape, c.shape)]
+            dense = zoom(c, factors, order=3, mode="nearest") * scales[axis]
             fields.append(dense.astype(np.float32))
         return fields
+
+    def _dense_field(self, rng, spatial_shape):
+        """Dense per-axis displacement fields at ``spatial_shape``."""
+        coarse = self._coarse_fields(rng, len(spatial_shape))
+        return self._dense_from_coarse(coarse, spatial_shape, [1.0] * len(spatial_shape))
 
     def __call__(self, *imgs, elastic_deformation_orders=None, **kwargs):
         self._check_ndim(imgs)
         rng = self._rng(kwargs)
         if rng.random() >= self.prob:
             return imgs
-        spatial_shape = imgs[0].shape[:-1]
-        fields = self._dense_field(rng, spatial_shape)
-        grid = np.meshgrid(*[np.arange(s, dtype=np.float32) for s in spatial_shape], indexing="ij")
-        coords = [g + f for g, f in zip(grid, fields)]
+        # ONE deformation for the whole tuple, realized on EACH image's own
+        # grid with displacements scaled by its size ratio to imgs[0] — LR
+        # and HR keep their shapes AND stay geometrically aligned.  (The
+        # reference's SimpleITK path also preserves shapes, but its transform
+        # support covers only imgs[0]'s physical extent, so most of a larger
+        # HR image is left undeformed — misaligned from its LR; geometric
+        # consistency is the semantically required behavior for SR pairs.)
+        base_shape = imgs[0].shape[:-1]
+        coarse = self._coarse_fields(rng, len(base_shape))
         orders = elastic_deformation_orders or [3] * len(imgs)
 
         from scipy.ndimage import map_coordinates
 
+        coords_cache: dict = {}
         out = []
         for img, order in zip(imgs, orders):
             if order not in (0, 1, 3):
                 raise ValueError(f"The interpolation order should be 0, 1 or 3. Got {order}.")
+            spatial_shape = img.shape[:-1]
+            if spatial_shape not in coords_cache:
+                scales = [s / b for s, b in zip(spatial_shape, base_shape)]
+                fields = self._dense_from_coarse(coarse, spatial_shape, scales)
+                grid = np.meshgrid(
+                    *[np.arange(s, dtype=np.float32) for s in spatial_shape],
+                    indexing="ij",
+                )
+                coords_cache[spatial_shape] = [g + f for g, f in zip(grid, fields)]
+            coords = coords_cache[spatial_shape]
             channels = [
                 map_coordinates(img[..., c], coords, order=order, mode="constant", cval=0.0)
                 for c in range(img.shape[-1])

@@ -86,12 +86,25 @@ def resolve_device(device_str: str | None, num_cpu_devices: int | None = None):
 
 def _init_distributed(cfg: Cfg) -> None:
     """jax.distributed.initialize BEFORE any backend use (it refuses to run
-    afterwards) — call at the very top of the train/test entry points."""
-    parallel = cfg.get("parallel")
-    if parallel and parallel.get("multi_host"):
-        from .parallel import distributed_initialize
+    afterwards) — call at the very top of the train/test entry points.
 
-        distributed_initialize(parallel.get("coordinator_address"))
+    Triggered by ``parallel.multi_host: true`` (then a missing/unreachable
+    coordinator is a hard error) OR by the standard cluster env vars being
+    present (TPU pods set them; see parallel/distributed._CLUSTER_ENV_VARS).
+    Bring-your-own clusters pass ``coordinator_address`` / ``num_processes``
+    / ``process_id`` under ``parallel:``."""
+    parallel = cfg.get("parallel") or {}
+    multi_host = bool(parallel.get("multi_host"))
+    from .parallel import distributed_initialize
+    from .parallel.distributed import cluster_env_present
+
+    if multi_host or cluster_env_present():
+        distributed_initialize(
+            parallel.get("coordinator_address"),
+            parallel.get("num_processes"),
+            parallel.get("process_id"),
+            require=multi_host,
+        )
 
 
 def build_mesh(cfg: Cfg):
@@ -155,6 +168,11 @@ def train_from_config(cfg: Cfg):
     dl_cls = DATALOADERS.get(cfg.dataloader.name)
     collate_fn = getattr(type(train_ds), "collate_fn", None)
     train_loader = dl_cls(train_ds, batch_size=train_bs, collate_fn=collate_fn, **dl_kwargs)
+    # Deliberate deviation from the reference, which reuses the train kwargs
+    # (shuffle included) for validation: validation is deterministic here.
+    # Order only changes metrics when drop_last is set — the reference then
+    # evaluates a DIFFERENT random subset each epoch, while a fixed set keeps
+    # the monitor's best-checkpoint comparisons meaningful.
     dl_kwargs["shuffle"] = False
     valid_loader = dl_cls(valid_ds, batch_size=valid_bs, collate_fn=collate_fn, **dl_kwargs)
 

@@ -85,12 +85,21 @@ def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    require: bool = False,
 ) -> bool:
     """Initialize jax.distributed when running multi-host; returns whether a
     multi-process runtime is active.
 
     With no arguments, relies on JAX's automatic cluster detection (TPU pods
-    set the env); explicit args support bring-your-own clusters.
+    set the env); explicit args support bring-your-own clusters
+    (``parallel: {coordinator_address, num_processes, process_id}``).
+
+    ``require=True`` (an explicit ``multi_host: true`` request) makes a
+    missing coordination signal an error, and ANY attempted-but-failed
+    initialization raises rather than degrading: a worker silently falling
+    back to single-host would see ``process_index() == 0``, pass every
+    lead-only guard, and race the real lead's writes to the shared
+    saved_dir — corrupted checkpoints and unsynchronized training.
     """
     import jax
 
@@ -110,6 +119,13 @@ def initialize(
     except Exception:
         pass
     if coordinator_address is None and not cluster_env_present():
+        if require:
+            raise ValueError(
+                "parallel.multi_host: true, but neither "
+                "parallel.coordinator_address nor a cluster env var "
+                f"({', '.join(_CLUSTER_ENV_VARS)}) is set — nothing to "
+                "coordinate against."
+            )
         return False
     try:
         jax.distributed.initialize(
@@ -117,15 +133,18 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-        logger.info(
-            f"jax.distributed initialized: process {jax.process_index()} "
-            f"of {jax.process_count()}."
-        )
-        globals()["_initialized"] = True
-        return _multiprocess_active()
     except Exception as e:
-        logger.warning(f"jax.distributed.initialize failed ({e}); continuing single-host.")
-        return False
+        raise RuntimeError(
+            "jax.distributed.initialize failed; refusing to continue "
+            "single-host (a degraded worker would race the lead's writes "
+            f"to the shared saved_dir): {e}"
+        ) from e
+    logger.info(
+        f"jax.distributed initialized: process {jax.process_index()} "
+        f"of {jax.process_count()}."
+    )
+    _initialized = True
+    return _multiprocess_active()
 
 
 def process_local_batch_slice(global_batch_size: int) -> tuple[int, int]:

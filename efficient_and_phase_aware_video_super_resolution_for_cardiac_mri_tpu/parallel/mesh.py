@@ -157,6 +157,18 @@ def shard_batch(mesh: Mesh | None, batch: dict) -> dict:
         )
         if spec[0] == DATA_AXIS and x.shape[0] % dp != 0:
             spec[0] = None
+            if x.shape[0] > 1:
+                # batch-1 prediction replicates silently by design; a
+                # multi-item batch losing data parallelism (the final partial
+                # batch of every epoch without drop_last — plus a recompile
+                # for the new shape) deserves a heads-up like spatial's
+                _warn_once(
+                    ("data", x.shape),
+                    f"batch {x.shape[0]} of a {x.shape} array is not "
+                    f"divisible by the data axis ({dp}); replicating it over "
+                    "'data' (no data parallelism for this step). Set "
+                    "drop_last or pick a divisible batch size.",
+                )
         h_axis = x.ndim - 3
         if x.ndim >= 4 and spec[h_axis] == SPATIAL_AXIS and x.shape[h_axis] % sp != 0:
             spec[h_axis] = None

@@ -106,6 +106,27 @@ def test_elastic_deformation_field_distribution():
     assert fd.any()
 
 
+def test_elastic_deformation_mixed_shapes_consistent():
+    """LR and HR in one tuple keep their OWN shapes and receive the SAME
+    relative deformation (displacements scale with the grid).  The
+    reference's SimpleITK path preserves shapes too, but its transform
+    support covers only imgs[0]'s physical extent, leaving most of the HR
+    image undeformed and misaligned from its LR — geometric consistency is
+    the semantically required behavior for SR pairs."""
+    rng = np.random.default_rng(7)
+    lr = np.random.default_rng(1).uniform(0, 1, (16, 16, 1)).astype(np.float32)
+    hr = np.kron(lr[..., 0], np.ones((4, 4)))[..., None].astype(np.float32)
+    out_lr, out_hr = T.RandomElasticDeformation(prob=1.0, sigma=2)(lr, hr, rng=rng)
+    assert out_lr.shape == lr.shape and out_hr.shape == hr.shape
+    assert not np.allclose(out_hr, hr)
+    # consistency: the deformed HR, block-averaged to LR scale, tracks the
+    # deformed LR far better than the undeformed LR does
+    hr_down = out_hr[..., 0].reshape(16, 4, 16, 4).mean(axis=(1, 3))
+    err_deformed = np.abs(hr_down - out_lr[..., 0]).mean()
+    err_undeformed = np.abs(hr_down - lr[..., 0]).mean()
+    assert err_deformed < 0.5 * err_undeformed, (err_deformed, err_undeformed)
+
+
 def test_compose_from_config():
     tf = T.compose(NORM)
     img = np.full((4, 4, 1), 54.089, np.float32)

@@ -728,3 +728,19 @@ def test_multiprocess_cpu_disables_persistent_compile_cache(monkeypatch):
         assert not jax.config.jax_compilation_cache_dir
     finally:
         jax.config.update("jax_compilation_cache_dir", original)
+
+
+def test_multi_host_require_without_signal_raises(monkeypatch):
+    """An explicit multi_host: true with nothing to coordinate against must
+    hard-fail — a silent single-host fallback would make EVERY worker think
+    it is process 0 and race the real lead's writes to the shared saved_dir."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parallel import (
+        distributed,
+    )
+
+    for var in distributed._CLUSTER_ENV_VARS:
+        monkeypatch.delenv(var, raising=False)
+    with pytest.raises(ValueError, match="multi_host"):
+        distributed.initialize(require=True)
+    # without the explicit request, no signal still means a graceful False
+    assert distributed.initialize() is False
