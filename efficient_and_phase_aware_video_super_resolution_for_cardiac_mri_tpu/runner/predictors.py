@@ -255,19 +255,17 @@ class BasePredictor:
             )
             results = [header]
         frames = 0
-        t0 = time.perf_counter()
-        for batch in self.test_dataloader:
-            index = int(batch["index"][0])
-            patient, sid, filename = self._item_meta(index)
-            batch, true_T = self._bucket_batch(batch)
-            # masks/meta use the TRUE target shape; padding happens after
-            true_shape = np.asarray(self._targets(batch)).shape
-            masks = self._metric_masks(patient, true_shape[-3:-1])
-            batch, out_h = self._pad_spatial(batch)
-            device_batch = shard_batch(self.mesh, batch)
-            total, losses, metrics, out_d = self._step(
-                self.params, self.model_state, device_batch, masks, out_h
-            )
+
+        def finish(item):
+            """Fetch one dispatched item's results (blocks) and fold them into
+            the log / export tree.  Called one item BEHIND the dispatch loop
+            so the next item's host prep + device compute overlap this item's
+            device→host fetch (the same double-buffering as the trainer's
+            ``_device_prefetch``; per-item fetches cost ~33 ms through the
+            tunnel — PERF_NOTES).  Export order is preserved: items finish
+            strictly in dispatch order, which the SISR GIF assembly relies on."""
+            nonlocal frames, count
+            total, losses, metrics, out_d, true_T, patient, sid, filename = item
             # slice padded frames back off (no-op when true_T is None)
             losses = np.asarray(losses)[:true_T]
             metrics = np.asarray(metrics)[:true_T]
@@ -285,6 +283,26 @@ class BasePredictor:
             for fn, col in zip(self.metric_fns, metrics.mean(axis=0)):
                 log[fn.name] += float(col) * weight
             count += weight
+
+        pending = None
+        t0 = time.perf_counter()
+        for batch in self.test_dataloader:
+            index = int(batch["index"][0])
+            patient, sid, filename = self._item_meta(index)
+            batch, true_T = self._bucket_batch(batch)
+            # masks/meta use the TRUE target shape; padding happens after
+            true_shape = np.asarray(self._targets(batch)).shape
+            masks = self._metric_masks(patient, true_shape[-3:-1])
+            batch, out_h = self._pad_spatial(batch)
+            device_batch = shard_batch(self.mesh, batch)
+            total, losses, metrics, out_d = self._step(
+                self.params, self.model_state, device_batch, masks, out_h
+            )
+            if pending is not None:
+                finish(pending)
+            pending = (total, losses, metrics, out_d, true_T, patient, sid, filename)
+        if pending is not None:
+            finish(pending)
         elapsed = max(time.perf_counter() - t0, 1e-9)
         self.throughput = {"frames_per_sec": frames / elapsed, "frames": frames}
         if self.exported:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import functools
 import json
 import time
 from collections import defaultdict
@@ -114,13 +115,43 @@ def main(argv=None):
     variables = load_net_variables(args.checkpoint, "RefineNet")
     variables = replicate_tree(mesh, jax.tree.map(np.asarray, variables))
 
-    @jax.jit
-    def forward(v, lr, pos):
-        return model.apply(v, lr, pos)[-1]
-
     psnr, ssim = PSNR(size_average=False), SSIM(size_average=False)
+
+    # The whole per-chunk pipeline lives ON DEVICE and returns only two
+    # (B·T,) score vectors: fetching the SR volume to score it on host would
+    # move factor²·T·H·W floats per chunk (tens of MB) through a ~33 ms/trip
+    # link and then run the metrics op-by-op per frame (bench.py's measured
+    # latency-vs-pipelined lesson, PERF_NOTES).  true_hr_h is static: one
+    # trace per shape GROUP, which the grouping already guarantees.
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def forward_scores(v, lr, pos, hr, true_hr_h):
+        out = model.apply(v, lr, pos)[-1]
+        out = out[..., :true_hr_h, :, :]  # crop pad_h rows (no-op unpadded)
+        out_d = denormalize(out, "acdc")
+        hr_d = denormalize(hr, "acdc")
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])  # (B,T,H,W,C)->(B·T,...)
+        return psnr(flat(out_d), flat(hr_d)), ssim(flat(out_d), flat(hr_d))
+
     rows = [["name", "frame", "PSNR", "SSIM"]]
     frames = 0
+
+    def emit(pending):
+        """Fetch one dispatched chunk's scores (blocks) and append rows."""
+        nonlocal frames
+        (psnr_v, ssim_v), chunk, T = pending
+        psnr_v, ssim_v = np.asarray(psnr_v), np.asarray(ssim_v)
+        for b, idx in enumerate(chunk):
+            name = dataset.data[idx][0].parts[-1].split(".")[0]
+            for t in range(T):
+                rows.append(
+                    [f"{name}_frame{t+1:0>2d}", t,
+                     float(psnr_v[b * T + t]), float(ssim_v[b * T + t])]
+                )
+            frames += T
+
+    # Double-buffered dispatch: prep + dispatch chunk k+1 before fetching
+    # chunk k's scores, so host decode/stack overlaps device compute.
+    pending = None
     t0 = time.perf_counter()
     for shape, indices in sorted(group_by_shape(dataset).items()):
         for start in range(0, len(indices), n_dev):
@@ -133,24 +164,15 @@ def main(argv=None):
             true_hr_h = hr.shape[-3]
             if args.pad_h and args.spatial_parallel > 1:
                 lr = pad_height_to_multiple(lr, args.spatial_parallel)
-            batch = shard_batch(mesh, {"lr": lr, "pos": pos})
-            out = np.asarray(forward(variables, batch["lr"], batch["pos"]))
-            out = out[..., :true_hr_h, :, :]  # crop pad_h rows (no-op unpadded)
-            out_d = np.asarray(denormalize(out, "acdc"))
-            hr_d = np.asarray(denormalize(hr, "acdc"))
-            for b, idx in enumerate(chunk):
-                lr_path = dataset.data[idx][0]
-                name = lr_path.parts[-1].split(".")[0]
-                for t in range(hr_d.shape[1]):
-                    rows.append(
-                        [
-                            f"{name}_frame{t+1:0>2d}",
-                            t,
-                            float(psnr(out_d[b : b + 1, t], hr_d[b : b + 1, t])[0]),
-                            float(ssim(out_d[b : b + 1, t], hr_d[b : b + 1, t])[0]),
-                        ]
-                    )
-                frames += hr_d.shape[1]
+            batch = shard_batch(mesh, {"lr": lr, "pos": pos, "hr": hr})
+            scores = forward_scores(
+                variables, batch["lr"], batch["pos"], batch["hr"], true_hr_h
+            )
+            if pending is not None:
+                emit(pending)
+            pending = (scores, chunk, hr.shape[1])
+    if pending is not None:
+        emit(pending)
     elapsed = max(time.perf_counter() - t0, 1e-9)
 
     args.out_csv.parent.mkdir(parents=True, exist_ok=True)
