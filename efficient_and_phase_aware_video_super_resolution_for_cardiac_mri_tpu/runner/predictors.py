@@ -18,6 +18,7 @@ from __future__ import annotations
 import csv
 import inspect
 import logging
+import os
 from functools import partial
 from pathlib import Path
 
@@ -284,6 +285,10 @@ class BasePredictor:
                 log[fn.name] += float(col) * weight
             count += weight
 
+        # EVSR_EAGER_EVAL=1 fetches each item before dispatching the next —
+        # disables the overlap for debugging/timing (and is the measured-
+        # baseline protocol in PERF_NOTES' "Pipelined predictor loop" row)
+        eager = os.environ.get("EVSR_EAGER_EVAL") == "1"
         pending = None
         t0 = time.perf_counter()
         for batch in self.test_dataloader:
@@ -301,6 +306,9 @@ class BasePredictor:
             if pending is not None:
                 finish(pending)
             pending = (total, losses, metrics, out_d, true_T, patient, sid, filename)
+            if eager:
+                finish(pending)
+                pending = None
         if pending is not None:
             finish(pending)
         elapsed = max(time.perf_counter() - t0, 1e-9)

@@ -215,6 +215,29 @@ def test_predict_exports(tree, trained, tmp_path_factory):
     assert len(pngs) == n_items * 10
 
 
+def test_predict_pipelined_equals_eager(tree, trained, tmp_path_factory, monkeypatch):
+    """The double-buffered predictor loop (dispatch k+1 before fetching k)
+    must be invisible: logs and the full export tree match the eager
+    fetch-each-item-first protocol (EVSR_EAGER_EVAL=1) exactly, including
+    the cross-item GIF assembly order."""
+    _, train_dir = trained
+    out_eager = tmp_path_factory.mktemp("eager_out")
+    monkeypatch.setenv("EVSR_EAGER_EVAL", "1")
+    pred_eager = run_test_config(_test_cfg(tree, train_dir, out_eager))
+    out_pipe = tmp_path_factory.mktemp("pipe_out")
+    monkeypatch.delenv("EVSR_EAGER_EVAL")
+    pred_pipe = run_test_config(_test_cfg(tree, train_dir, out_pipe))
+
+    assert pred_pipe.log == pred_eager.log
+    assert (out_pipe / "results.csv").read_bytes() == (out_eager / "results.csv").read_bytes()
+    rel = lambda root: sorted(p.relative_to(root) for p in root.rglob("*") if p.is_file())
+    files_e, files_p = rel(out_eager), rel(out_pipe)
+    assert files_p == files_e
+    for f in files_p:
+        if f.suffix in (".gif", ".png"):
+            assert (out_pipe / f).read_bytes() == (out_eager / f).read_bytes(), f
+
+
 def test_bicubic_predictor_no_checkpoint(tree, tmp_path_factory):
     out_dir = tmp_path_factory.mktemp("bicubic_out")
     cfg = Cfg(
