@@ -71,6 +71,7 @@ class BasePredictor:
         t_bucket: int = 0,
         compute_dtype: str | None = None,
         pad_h: bool = False,
+        aot_cache: str | None = None,
     ):
         self.device = device
         # TPU extension (no reference counterpart): pad variable-length
@@ -90,6 +91,12 @@ class BasePredictor:
         # outputs within a receptive field of the bottom border vs the exact
         # meshless result (tested tolerance in test_parallel.py).
         self.pad_h = bool(pad_h)
+        # TPU extension: directory for the persistent AOT *executable* cache
+        # (utils/aot.py) — a serving process restart skips the 5-10 min
+        # tunnel compile of the big graph, which jax's persistent
+        # compilation cache measurably does not avoid (PERF_NOTES.md).
+        # EVSR_AOT_CACHE provides it environment-wide.
+        self.aot_cache = aot_cache or os.environ.get("EVSR_AOT_CACHE") or None
         self.mesh = mesh
         self.test_dataloader = test_dataloader
         self.net = net
@@ -206,6 +213,24 @@ class BasePredictor:
             out_d, tgt_d = self._denorm(out), self._denorm(target)
             metrics = self._frame_metrics(out_d, tgt_d, masks)  # (T, n_metric)
             return total, losses, metrics, out_d
+
+        if self.aot_cache:
+            from ..utils import aot
+
+            inner, executables, tag = step, {}, type(self).__name__
+
+            def step(params, state, batch, masks, out_h):
+                # one executable per argument-shape signature (t_bucket keeps
+                # this small); each is AOT-compiled through the disk cache
+                key = aot.shape_key(params, state, batch, masks) + (out_h,)
+                exe = executables.get(key)
+                if exe is None:
+                    exe = aot.compile_cached(
+                        inner, (params, state, batch, masks, out_h),
+                        self.aot_cache, tag=tag,
+                    )
+                    executables[key] = exe
+                return exe(params, state, batch, masks)  # statics baked in
 
         self._step = step
 

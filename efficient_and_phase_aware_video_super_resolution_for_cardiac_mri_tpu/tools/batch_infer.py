@@ -89,6 +89,11 @@ def main(argv=None):
         "so indivisible volumes still shard (SR output cropped back; same "
         "border tradeoff as the predictor's parallel.pad_h)",
     )
+    parser.add_argument(
+        "--aot-cache", default=None, metavar="DIR",
+        help="persist compiled executables to DIR (utils/aot.py) so a serving "
+        "restart skips the multi-minute flagship compile",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -131,6 +136,22 @@ def main(argv=None):
         hr_d = denormalize(hr, "acdc")
         flat = lambda x: x.reshape((-1,) + x.shape[2:])  # (B,T,H,W,C)->(B·T,...)
         return psnr(flat(out_d), flat(hr_d)), ssim(flat(out_d), flat(hr_d))
+
+    if args.aot_cache:
+        from ..utils import aot
+
+        _jitted, _executables = forward_scores, {}
+
+        def forward_scores(v, lr, pos, hr, true_hr_h):
+            key = aot.shape_key(v, lr, pos, hr) + (true_hr_h,)
+            exe = _executables.get(key)
+            if exe is None:
+                exe = aot.compile_cached(
+                    _jitted, (v, lr, pos, hr, true_hr_h),
+                    args.aot_cache, tag="batch_infer",
+                )
+                _executables[key] = exe
+            return exe(v, lr, pos, hr)  # the static arg is baked in
 
     rows = [["name", "frame", "PSNR", "SSIM"]]
     frames = 0

@@ -185,6 +185,23 @@ def test_batch_infer_on_mesh(tmp_path):
     assert summary_sp["devices"] == 4  # data-parallel width
     assert summary_sp["mean_psnr"] == pytest.approx(summary["mean_psnr"], rel=1e-5)
 
+    # --aot-cache: first run serializes executables, second reloads them
+    # byte-for-byte (mtimes unchanged) with identical scores
+    aot_dir = tmp_path / "aot"
+    base_args = [
+        str(ckpt), str(tree["videos_dir"]), str(tree["pos_code_path"]),
+        str(tmp_path / "results_aot.csv"), "--num-devices", "8",
+        "--net-kwargs", json.dumps(net_kwargs), "--aot-cache", str(aot_dir),
+    ]
+    summary_aot = batch_infer.main(base_args)
+    assert summary_aot["mean_psnr"] == pytest.approx(summary["mean_psnr"], rel=1e-6)
+    entries = sorted(aot_dir.glob("*.jaxexe"))
+    assert entries
+    mtimes = {f.name: f.stat().st_mtime_ns for f in entries}
+    summary_aot2 = batch_infer.main(base_args)
+    assert summary_aot2["mean_psnr"] == pytest.approx(summary_aot["mean_psnr"], rel=1e-6)
+    assert {f.name: f.stat().st_mtime_ns for f in sorted(aot_dir.glob("*.jaxexe"))} == mtimes
+
 
 def test_batch_infer_pad_h_shards_indivisible_heights(tmp_path):
     """--pad-h: LR heights indivisible by spatial_parallel (9 rows over 2)

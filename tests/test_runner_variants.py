@@ -480,6 +480,109 @@ def test_grad_accum_rejects_indivisible_batch():
         trainer._run_epoch("training")  # batch_size 2, accum 3
 
 
+def test_predictor_aot_executable_cache(tmp_path):
+    """aot_cache: the first predict() compiles and serializes executables to
+    disk; a fresh predictor instance reuses them byte-for-byte (no rewrite,
+    identical scores); a corrupt entry degrades to a recompile, never an
+    error (utils/aot.py contract)."""
+    from pathlib import Path
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.predictors import (
+        VSRPredictor,
+    )
+
+    items = _vsr_items(n=3)
+    cache_dir = tmp_path / "aot"
+
+    def make_pred():
+        ds = _ArrayDataset(items)
+        ds.data = [
+            (Path(f"patient{i:03d}_2d_sequence01.nii.gz"), None)
+            for i in range(len(items))
+        ]
+        loader = Dataloader(ds, batch_size=1, shuffle=False)
+        pred = VSRPredictor(
+            device="cpu",
+            test_dataloader=loader,
+            net=nets.Bicubic(upscale_factor=4),
+            loss_fns=[L.L1Loss()],
+            metric_fns=[M.PSNR()],
+            aot_cache=str(cache_dir),
+        )
+        first = items[0]
+        batch = {
+            k: (np.asarray(v)[None] if hasattr(v, "ndim") else [v])
+            for k, v in first.items()
+        }
+        pred.init_params_like(batch)
+        return pred
+
+    log1 = make_pred().predict()
+    entries = sorted(cache_dir.glob("*.jaxexe"))
+    assert entries, "first predict() must populate the AOT cache"
+    mtimes = {f.name: f.stat().st_mtime_ns for f in entries}
+
+    log2 = make_pred().predict()
+    assert log2 == log1
+    entries2 = sorted(cache_dir.glob("*.jaxexe"))
+    assert {f.name: f.stat().st_mtime_ns for f in entries2} == mtimes, (
+        "second run must be pure cache hits (no new/rewritten entries)"
+    )
+
+    for f in entries2:
+        f.write_bytes(b"not an executable")
+    log3 = make_pred().predict()
+    assert log3["PSNR"] == pytest.approx(log1["PSNR"], rel=1e-6)
+
+
+def test_predictor_aot_cache_on_mesh(tmp_path):
+    """AOT-cached executables record their device assignment: a mesh-sharded
+    executable (8-device GSPMD) reloads onto the same device set and scores
+    match the meshless run."""
+    from pathlib import Path
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.parallel import (
+        make_mesh,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.predictors import (
+        VSRPredictor,
+    )
+
+    items = _vsr_items(n=3)
+    cache_dir = tmp_path / "aot"
+
+    def make_pred(mesh):
+        ds = _ArrayDataset(items)
+        ds.data = [
+            (Path(f"patient{i:03d}_2d_sequence01.nii.gz"), None)
+            for i in range(len(items))
+        ]
+        loader = Dataloader(ds, batch_size=1, shuffle=False)
+        pred = VSRPredictor(
+            device="cpu", test_dataloader=loader, net=nets.Bicubic(upscale_factor=4),
+            loss_fns=[L.L1Loss()], metric_fns=[M.PSNR()], mesh=mesh,
+            aot_cache=str(cache_dir),
+        )
+        first = items[0]
+        batch = {
+            k: (np.asarray(v)[None] if hasattr(v, "ndim") else [v])
+            for k, v in first.items()
+        }
+        pred.init_params_like(batch)
+        return pred
+
+    mesh = make_mesh(8)
+    log1 = make_pred(mesh).predict()
+    entries = sorted(cache_dir.glob("*.jaxexe"))
+    assert entries
+    mtimes = {f.name: f.stat().st_mtime_ns for f in entries}
+    log2 = make_pred(mesh).predict()  # reload path
+    assert log2 == log1
+    assert {f.name: f.stat().st_mtime_ns for f in sorted(cache_dir.glob("*.jaxexe"))} == mtimes
+    log_plain = make_pred(None).predict()  # meshless reference numerics
+    assert log_plain["PSNR"] == pytest.approx(log1["PSNR"], rel=1e-5)
+
+
 def test_vsr_t_bucketing_wrap_math():
     """t_bucket pads the cycle circularly: core frames wrap mod T, the
     trailing warm-up margin is rebuilt to follow the extended core."""
