@@ -217,20 +217,11 @@ class BasePredictor:
         if self.aot_cache:
             from ..utils import aot
 
-            inner, executables, tag = step, {}, type(self).__name__
-
-            def step(params, state, batch, masks, out_h):
-                # one executable per argument-shape signature (t_bucket keeps
-                # this small); each is AOT-compiled through the disk cache
-                key = aot.shape_key(params, state, batch, masks) + (out_h,)
-                exe = executables.get(key)
-                if exe is None:
-                    exe = aot.compile_cached(
-                        inner, (params, state, batch, masks, out_h),
-                        self.aot_cache, tag=tag,
-                    )
-                    executables[key] = exe
-                return exe(params, state, batch, masks)  # statics baked in
+            # one executable per argument-shape signature (t_bucket keeps
+            # this small); each is AOT-compiled through the disk cache
+            step = aot.cached_dispatch(
+                step, self.aot_cache, type(self).__name__, static_argnums=(4,)
+            )
 
         self._step = step
 

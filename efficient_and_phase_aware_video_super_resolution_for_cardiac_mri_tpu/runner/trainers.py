@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import inspect
 import logging
+import os
 import time
 from collections import deque
 from functools import partial
@@ -75,6 +76,7 @@ class BaseTrainer:
         checkpoint_backend: str = "pickle",
         compute_dtype: str | None = None,
         grad_accum_steps: int = 1,
+        aot_cache: str | None = None,
     ):
         self.device = device
         self.mesh = mesh
@@ -106,6 +108,11 @@ class BaseTrainer:
         # thereby average at microbatch granularity); BN batch_stats update
         # sequentially per microbatch.
         self.grad_accum_steps = max(1, int(grad_accum_steps))
+        # TPU extension: persistent AOT *executable* cache (utils/aot.py) —
+        # a preemption-resume restart skips the multi-minute train-step
+        # compile that jax's persistent compilation cache does not avoid on
+        # the tunneled backend.  EVSR_AOT_CACHE provides it environment-wide.
+        self.aot_cache = aot_cache or os.environ.get("EVSR_AOT_CACHE") or None
         self.epoch = 1
         if dataset_stats:
             self.dataset_stats = dataset_stats
@@ -285,6 +292,13 @@ class BaseTrainer:
             total, (losses, outputs, _) = forward_losses(params, state, batch, False)
             metrics = self._compute_metrics(outputs, batch)
             return total, losses, metrics, self._display_outputs(outputs)
+
+        if self.aot_cache:
+            from ..utils import aot
+
+            tag = type(self).__name__
+            train_step = aot.cached_dispatch(train_step, self.aot_cache, f"{tag}-train")
+            eval_step = aot.cached_dispatch(eval_step, self.aot_cache, f"{tag}-eval")
 
         self._train_step = train_step
         self._eval_step = eval_step

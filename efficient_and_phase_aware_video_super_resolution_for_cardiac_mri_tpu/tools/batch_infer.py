@@ -140,18 +140,9 @@ def main(argv=None):
     if args.aot_cache:
         from ..utils import aot
 
-        _jitted, _executables = forward_scores, {}
-
-        def forward_scores(v, lr, pos, hr, true_hr_h):
-            key = aot.shape_key(v, lr, pos, hr) + (true_hr_h,)
-            exe = _executables.get(key)
-            if exe is None:
-                exe = aot.compile_cached(
-                    _jitted, (v, lr, pos, hr, true_hr_h),
-                    args.aot_cache, tag="batch_infer",
-                )
-                _executables[key] = exe
-            return exe(v, lr, pos, hr)  # the static arg is baked in
+        forward_scores = aot.cached_dispatch(
+            forward_scores, args.aot_cache, "batch_infer", static_argnums=(4,)
+        )
 
     rows = [["name", "frame", "PSNR", "SSIM"]]
     frames = 0

@@ -158,6 +158,27 @@ def test_batch_infer_on_mesh(tmp_path):
     ckpt = tmp_path / "model.pth"
     torch.save({"net": ref.state_dict()}, ckpt)
 
+    # --aot-cache FIRST: the store must happen before any plain-jit dispatch
+    # of the same program, which may restore it from the warm persistent
+    # compilation cache and trigger the upstream serialize corruption that
+    # utils/aot.py's validation would then (correctly) reject (see
+    # _validate_payload) — in which case nothing would be cached to assert on
+    aot_dir = tmp_path / "aot"
+    base_args = [
+        str(ckpt), str(tree["videos_dir"]), str(tree["pos_code_path"]),
+        str(tmp_path / "results_aot.csv"), "--num-devices", "8",
+        "--net-kwargs", json.dumps(net_kwargs), "--aot-cache", str(aot_dir),
+    ]
+    summary_aot = batch_infer.main(base_args)
+    entries = sorted(aot_dir.glob("*.jaxexe"))
+    assert entries, "first --aot-cache run must store validated executables"
+    mtimes = {f.name: f.stat().st_mtime_ns for f in entries}
+    summary_aot2 = batch_infer.main(base_args)
+    assert summary_aot2["mean_psnr"] == pytest.approx(summary_aot["mean_psnr"], rel=1e-6)
+    assert {f.name: f.stat().st_mtime_ns for f in sorted(aot_dir.glob("*.jaxexe"))} == mtimes, (
+        "second run must be pure cache hits (no new/rewritten entries)"
+    )
+
     out_csv = tmp_path / "results.csv"
     summary = batch_infer.main(
         [
@@ -171,6 +192,7 @@ def test_batch_infer_on_mesh(tmp_path):
     assert summary["frames"] == 4 * 8
     assert out_csv.exists()
     assert np.isfinite(summary["mean_psnr"])
+    assert summary_aot["mean_psnr"] == pytest.approx(summary["mean_psnr"], rel=1e-6)
 
     # dp x sp serving: 4-wide data axis + height sharded over 2 devices
     # (GSPMD halo) must reproduce the pure-dp scores exactly
@@ -185,22 +207,6 @@ def test_batch_infer_on_mesh(tmp_path):
     assert summary_sp["devices"] == 4  # data-parallel width
     assert summary_sp["mean_psnr"] == pytest.approx(summary["mean_psnr"], rel=1e-5)
 
-    # --aot-cache: first run serializes executables, second reloads them
-    # byte-for-byte (mtimes unchanged) with identical scores
-    aot_dir = tmp_path / "aot"
-    base_args = [
-        str(ckpt), str(tree["videos_dir"]), str(tree["pos_code_path"]),
-        str(tmp_path / "results_aot.csv"), "--num-devices", "8",
-        "--net-kwargs", json.dumps(net_kwargs), "--aot-cache", str(aot_dir),
-    ]
-    summary_aot = batch_infer.main(base_args)
-    assert summary_aot["mean_psnr"] == pytest.approx(summary["mean_psnr"], rel=1e-6)
-    entries = sorted(aot_dir.glob("*.jaxexe"))
-    assert entries
-    mtimes = {f.name: f.stat().st_mtime_ns for f in entries}
-    summary_aot2 = batch_infer.main(base_args)
-    assert summary_aot2["mean_psnr"] == pytest.approx(summary_aot["mean_psnr"], rel=1e-6)
-    assert {f.name: f.stat().st_mtime_ns for f in sorted(aot_dir.glob("*.jaxexe"))} == mtimes
 
 
 def test_batch_infer_pad_h_shards_indivisible_heights(tmp_path):

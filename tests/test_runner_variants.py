@@ -480,6 +480,41 @@ def test_grad_accum_rejects_indivisible_batch():
         trainer._run_epoch("training")  # batch_size 2, accum 3
 
 
+def test_trainer_aot_executable_cache(tmp_path):
+    """aot_cache on the trainer: train/eval steps (donated buffers, optax
+    update) round-trip through serialized executables — params after N
+    epochs from the AOT-reload path match the plain-jit path exactly."""
+    import jax
+
+    def run(aot):
+        net = nets.EDSRNet(1, 1, num_resblocks=1, num_features=4, upscale_factor=4)
+        rng = np.random.default_rng(7)
+        items = [
+            {
+                "lr_img": rng.standard_normal((8, 8, 1)).astype(np.float32),
+                "hr_img": rng.standard_normal((32, 32, 1)).astype(np.float32),
+                "index": i,
+            }
+            for i in range(4)
+        ]
+        kwargs = {"aot_cache": str(tmp_path / "aot")} if aot else {}
+        trainer = _make_trainer("AcdcSISRTrainer", net, items, num_epochs=2, **kwargs)
+        trainer.train()
+        return trainer.params
+
+    # store FIRST: a prior plain-jit dispatch of the same program could
+    # restore it from the warm persistent compilation cache, triggering the
+    # upstream serialize corruption that validation would (correctly) reject
+    p_store = run(aot=True)  # compiles + serializes
+    assert sorted((tmp_path / "aot").glob("*.jaxexe"))
+    p_load = run(aot=True)  # pure reload
+    p_plain = run(aot=False)
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_store)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(p_store), jax.tree.leaves(p_load)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_predictor_aot_executable_cache(tmp_path):
     """aot_cache: the first predict() compiles and serializes executables to
     disk; a fresh predictor instance reuses them byte-for-byte (no rewrite,
