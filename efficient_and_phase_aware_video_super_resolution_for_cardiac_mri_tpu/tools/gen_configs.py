@@ -270,6 +270,10 @@ def main(out: Path, data_root: str, models_root: str):
     tpu_train = train_config("refine_net", 4, data_root, models_root)
     tpu_train["main"]["saved_dir"] = f"{models_root}/acdc/refine_net/exp1_x4_tpu/train"
     tpu_train["trainer"]["kwargs"]["compute_dtype"] = "bfloat16"
+    # preemption-resume restarts skip the train-step compile (utils/aot.py)
+    tpu_train["trainer"]["kwargs"]["aot_cache"] = (
+        f"{models_root}/acdc/refine_net/exp1_x4_tpu/aot_cache"
+    )
     tpu_train["parallel"] = {"num_devices": 8}
     _dump(tpu_train, out / "train" / "refine_net" / "exp1_x4_tpu.yaml")
     tpu_test = test_config("refine_net", 4, data_root, models_root, suffix="_tpu")
@@ -277,7 +281,12 @@ def main(out: Path, data_root: str, models_root: str):
     tpu_test["main"]["loaded_path"] = (
         f"{models_root}/acdc/refine_net/exp1_x4_tpu/train/checkpoints/model_best.pth"
     )
-    tpu_test["predictor"]["kwargs"].update(compute_dtype="bfloat16", t_bucket=8)
+    tpu_test["predictor"]["kwargs"].update(
+        compute_dtype="bfloat16",
+        t_bucket=8,
+        # serving restarts skip the multi-minute flagship compile
+        aot_cache=f"{models_root}/acdc/refine_net/exp1_x4_tpu/aot_cache",
+    )
     _dump(tpu_test, out / "test" / "refine_net" / f"exp1_x4_tpu.yaml")
     # EDVR TPU serving showcase: the gather-free windowed DCN.  max_offset=2
     # bounds the PCD alignment's learned displacements to ±2 px per pyramid
