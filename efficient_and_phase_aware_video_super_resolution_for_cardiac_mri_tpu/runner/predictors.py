@@ -29,6 +29,7 @@ import numpy as np
 from ..config import PREDICTORS
 from ..parallel import gather_for_compute, partition_tree, shard_batch
 from ..utils.casting import cast_floating
+from ..utils.dispatch import DoubleBuffer
 from ..utils.stats import get_stats
 from . import checkpoint as ckpt_io
 from . import common
@@ -304,8 +305,7 @@ class BasePredictor:
         # EVSR_EAGER_EVAL=1 fetches each item before dispatching the next —
         # disables the overlap for debugging/timing (and is the measured-
         # baseline protocol in PERF_NOTES' "Pipelined predictor loop" row)
-        eager = os.environ.get("EVSR_EAGER_EVAL") == "1"
-        pending = None
+        pipe = DoubleBuffer(finish, eager=os.environ.get("EVSR_EAGER_EVAL") == "1")
         t0 = time.perf_counter()
         for batch in self.test_dataloader:
             index = int(batch["index"][0])
@@ -319,14 +319,8 @@ class BasePredictor:
             total, losses, metrics, out_d = self._step(
                 self.params, self.model_state, device_batch, masks, out_h
             )
-            if pending is not None:
-                finish(pending)
-            pending = (total, losses, metrics, out_d, true_T, patient, sid, filename)
-            if eager:
-                finish(pending)
-                pending = None
-        if pending is not None:
-            finish(pending)
+            pipe.push((total, losses, metrics, out_d, true_T, patient, sid, filename))
+        pipe.drain()
         elapsed = max(time.perf_counter() - t0, 1e-9)
         self.throughput = {"frames_per_sec": frames / elapsed, "frames": frames}
         if self.exported:

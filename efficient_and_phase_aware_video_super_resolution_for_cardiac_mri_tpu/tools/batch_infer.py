@@ -28,6 +28,7 @@ from ..metrics import PSNR, SSIM
 from ..models import RefineNet
 from ..parallel import make_mesh, pad_height_to_multiple, replicate_tree, shard_batch
 from ..runner.checkpoint import load_net_variables
+from ..utils.dispatch import DoubleBuffer
 from ..utils.stats import denormalize
 
 NET_KWARGS = dict(
@@ -163,7 +164,7 @@ def main(argv=None):
 
     # Double-buffered dispatch: prep + dispatch chunk k+1 before fetching
     # chunk k's scores, so host decode/stack overlaps device compute.
-    pending = None
+    pipe = DoubleBuffer(emit)
     t0 = time.perf_counter()
     for shape, indices in sorted(group_by_shape(dataset).items()):
         for start in range(0, len(indices), n_dev):
@@ -180,11 +181,8 @@ def main(argv=None):
             scores = forward_scores(
                 variables, batch["lr"], batch["pos"], batch["hr"], true_hr_h
             )
-            if pending is not None:
-                emit(pending)
-            pending = (scores, chunk, hr.shape[1])
-    if pending is not None:
-        emit(pending)
+            pipe.push((scores, chunk, hr.shape[1]))
+    pipe.drain()
     elapsed = max(time.perf_counter() - t0, 1e-9)
 
     args.out_csv.parent.mkdir(parents=True, exist_ok=True)

@@ -14,12 +14,13 @@ backend fingerprint + the lowered StableHLO text — any mismatch produces a
 different key and falls back to a fresh compile.  A corrupt or incompatible
 cache entry is skipped with a warning, never trusted.
 
-Operational note: enable the AOT cache from process start.  If the same
-program was already jit-compiled in this process while jax's persistent
-compilation cache was warm, XLA:CPU's serializer can emit a blob missing
-function bodies; :func:`_validate_payload` catches that at store time and the
-entry is skipped with a warning (serving then falls back to normal compiles —
-never wrong, just uncached).
+Interplay with jax's persistent *compilation* cache: serializing an
+executable that was RESTORED from that cache can emit a blob missing function
+bodies (XLA:CPU, jax 0.9).  :func:`compile_cached` therefore validates every
+blob by actually running it — at store time AND on disk hits — and, when a
+store-time validation fails, pays one cache-isolated recompile to obtain a
+storable blob.  If even that fails, storing is abandoned for the process
+(normal compiles, compilation cache untouched — never wrong, just uncached).
 
 No reference counterpart (the reference has no AOT story); this is a
 TPU-serving extension (docs/TPU_EXTENSIONS.md).
@@ -45,11 +46,22 @@ _FORMAT_VERSION = 1
 def backend_fingerprint() -> str:
     """Everything an executable is specialized to besides the program."""
     devs = jax.devices()
+    try:  # jaxlib can move within jax's pin range without jax.__version__ changing
+        import jaxlib
+
+        jaxlib_version = jaxlib.__version__
+    except Exception:
+        jaxlib_version = "unknown"
+    # PJRT runtime build (XLA commit / libtpu version) — catches runtime
+    # upgrades that neither python package version reflects
+    platform_version = getattr(devs[0].client, "platform_version", "unknown")
     return json.dumps(
         {
             "format": _FORMAT_VERSION,
             "jax": jax.__version__,
+            "jaxlib": jaxlib_version,
             "platform": devs[0].platform,
+            "platform_version": str(platform_version),
             "device_kind": devs[0].device_kind,
             "n_devices": len(devs),
             "process_count": jax.process_count(),
@@ -76,7 +88,7 @@ def _load_payload(payload):
 
 
 def _validate_payload(payload, args, static_argnums):
-    """Run the deserialized executable once before publishing the entry.
+    """Load a payload, run it once, and return the validated executable.
 
     Upstream trap this guards against: when the same program was earlier
     restored from jax's persistent *compilation* cache in this process,
@@ -85,7 +97,10 @@ def _validate_payload(payload, args, static_argnums):
     Definition Event: Function ... not found" (XLA:CPU, jax 0.9), even in a
     fresh process.  Executing the round-tripped executable on COPIES of the
     args (donation-safe, sharding-preserving) and touching one element of
-    every output buffer surfaces exactly that failure at store time.
+    every output buffer surfaces exactly that failure — at store time for new
+    entries AND at load time for disk hits (a blob written by another build
+    can deserialize fine yet still die at its first run; validating the hit
+    keeps the 'cache can never break correctness' contract).
     """
     import jax.numpy as jnp
     import numpy as np
@@ -94,9 +109,45 @@ def _validate_payload(payload, args, static_argnums):
     dynamic = tuple(a for i, a in enumerate(args) if i not in static_argnums)
     copies = jax.tree.map(jnp.copy, dynamic)
     out = exe(*copies)
-    for leaf in jax.tree.leaves(out):
-        probe = leaf.ravel()[:1] if getattr(leaf, "ndim", 0) else leaf
-        np.asarray(probe)  # device→host forces the buffer's definition event
+    # one element of EVERY output buffer, fetched in a single device→host
+    # round-trip (the fetch forces the buffers' definition events; per-leaf
+    # fetches would cost ~33 ms each through a tunneled backend)
+    probes = [
+        jnp.asarray(leaf).ravel()[:1].astype(jnp.float32)
+        for leaf in jax.tree.leaves(out)
+    ]
+    if probes:
+        np.asarray(jnp.concatenate(probes))
+    return exe
+
+
+#: set when this process has proven it cannot produce a storable blob (the
+#: serializer raises, or even a cache-isolated compile fails validation) —
+#: further store attempts would just repeat the failure, so they are skipped
+#: and the jax persistent *compilation* cache keeps working undisturbed.
+_STORE_BROKEN = False
+
+
+def _publish(payload, path: Path, tag: str):
+    blob = pickle.dumps(payload)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    # atomic publish: a concurrent reader sees either nothing or a full file
+    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    except BaseException:
+        os.unlink(tmp)
+        raise
+    LOG.info(f"AOT cache store: {path.name} ({len(blob)} bytes).")
+
+
+def _serialize_payload(compiled):
+    from jax.experimental.serialize_executable import serialize
+
+    device_ids = [d.id for d in compiled._executable.xla_executable.local_devices()]
+    return (device_ids, serialize(compiled))
 
 
 def compile_cached(jitted_fn, args, cache_dir, tag: str = "step",
@@ -106,31 +157,56 @@ def compile_cached(jitted_fn, args, cache_dir, tag: str = "step",
     Returns a ``jax.stages.Compiled`` (its call takes only the *dynamic*
     arguments — static_argnums values are baked in).  On cache miss the
     compiled executable is serialized, VALIDATED by a round-trip execution,
-    and published to ``cache_dir`` atomically; on hit the compile is skipped
-    entirely.  Any load/serialize/validate failure degrades to a normal
-    compile (the cache can never break correctness).
+    and published to ``cache_dir`` atomically; on hit the stored executable is
+    loaded AND validated by one execution before it is trusted.  Any
+    load/serialize/validate failure degrades to a normal compile (the cache
+    can never break correctness).
     """
-    from jax.experimental.serialize_executable import serialize
+    global _STORE_BROKEN
 
     lowered = jitted_fn.lower(*args)
     key_material = backend_fingerprint() + lowered.as_text()
     key = hashlib.sha256(key_material.encode()).hexdigest()[:32]
     cache_dir = Path(cache_dir)
     path = cache_dir / f"{tag}-{key}.jaxexe"
+    statics = tuple(static_argnums)
     if path.exists():
         try:
             with open(path, "rb") as f:
-                compiled = _load_payload(pickle.load(f))
+                payload = pickle.load(f)
+            # validate-by-running: a blob can deserialize cleanly and still
+            # die at its first execution (written pre-validation, or by a
+            # same-version-different-build runtime) — catch that HERE and
+            # fall back to compiling instead of crashing the caller mid-run
+            compiled = _validate_payload(payload, args, statics)
             LOG.info(f"AOT cache hit: {path.name} (compile skipped).")
             return compiled
         except Exception as e:  # incompatible/corrupt entry → recompile
             LOG.warning(f"AOT cache entry {path.name} unusable ({e!r}); recompiling.")
-    # Compile with jax's persistent *compilation* cache disabled: serializing
-    # an executable that was RESTORED from that cache produces a blob whose
-    # reload dies at run time ("Buffer Definition Event: Function ... not
-    # found" — reproduced on XLA:CPU, jax 0.9).  A genuine compile serializes
-    # correctly, and after the store this AOT cache serves future restarts
-    # anyway, so the lost cache hit costs one compile exactly once.
+    # Compile normally first — the jax persistent *compilation* cache stays
+    # enabled, so environments where executable serialization never succeeds
+    # keep its warm-restart benefit.  The trap: serializing an executable that
+    # was RESTORED from that cache can emit a blob whose reload dies at run
+    # time ("Buffer Definition Event: Function ... not found" — XLA:CPU,
+    # jax 0.9).  Store-time validation catches exactly that, and only THEN do
+    # we pay one cache-isolated recompile to obtain a storable blob.
+    compiled = lowered.compile()
+    if _STORE_BROKEN:
+        return compiled
+    try:
+        payload = _serialize_payload(compiled)
+    except Exception as e:  # serializer itself unsupported — retry is futile
+        _STORE_BROKEN = True
+        LOG.warning(f"AOT executable serialization unavailable ({e!r}); "
+                    f"caching skipped for {tag}.")
+        return compiled
+    try:
+        _validate_payload(payload, args, statics)
+        _publish(payload, path, tag)
+        return compiled
+    except Exception as e:
+        LOG.warning(f"AOT blob failed validation ({e!r}); retrying with the "
+                    f"compilation cache disabled for {tag}.")
     prev = jax.config.jax_enable_compilation_cache
     try:
         jax.config.update("jax_enable_compilation_cache", False)
@@ -138,22 +214,11 @@ def compile_cached(jitted_fn, args, cache_dir, tag: str = "step",
     finally:
         jax.config.update("jax_enable_compilation_cache", prev)
     try:
-        device_ids = [d.id for d in compiled._executable.xla_executable.local_devices()]
-        payload = (device_ids, serialize(compiled))
-        _validate_payload(payload, args, tuple(static_argnums))
-        blob = pickle.dumps(payload)
-        cache_dir.mkdir(parents=True, exist_ok=True)
-        # atomic publish: a concurrent reader sees either nothing or a full file
-        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, path)
-        except BaseException:
-            os.unlink(tmp)
-            raise
-        LOG.info(f"AOT cache store: {path.name} ({len(blob)} bytes).")
-    except Exception as e:  # serialization unsupported on this backend
+        payload = _serialize_payload(compiled)
+        _validate_payload(payload, args, statics)
+        _publish(payload, path, tag)
+    except Exception as e:  # still broken → stop trying for this process
+        _STORE_BROKEN = True
         LOG.warning(f"AOT executable serialization unavailable ({e!r}); "
                     f"caching skipped for {tag}.")
     return compiled
@@ -184,7 +249,11 @@ def cached_dispatch(jitted_fn, cache_dir, tag: str, static_argnums: tuple = ()):
     def call(*args):
         static_vals = tuple(args[i] for i in statics)
         dynamic = tuple(a for i, a in enumerate(args) if i not in statics)
-        key = shape_key(dynamic) + static_vals
+        # the tree structure is part of the key: two arg trees can share a
+        # leaf signature (None leaves vanish from shape_key) yet need
+        # different executables — without it the stored Compiled would be
+        # called with a mismatched input tree mid-run
+        key = (jax.tree.structure(dynamic), shape_key(dynamic)) + static_vals
         exe = executables.get(key)
         if exe is None:
             exe = compile_cached(

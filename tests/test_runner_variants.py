@@ -618,8 +618,13 @@ def test_predictor_aot_cache_on_mesh(tmp_path):
     mesh = make_mesh(8)
     log1 = make_pred(mesh).predict()
     entries = sorted(cache_dir.glob("*.jaxexe"))
+    if not entries:  # store refused by validation: in-process poisoning —
+        # skip BEFORE the mtime assertions, which would pass vacuously on {}
+        pytest.skip("AOT store refused by validation (compilation-cache "
+                    "poisoning in-suite) — store/hit covered by "
+                    "test_aot_cache_across_processes")
     mtimes = {f.name: f.stat().st_mtime_ns for f in entries}
-    log2 = make_pred(mesh).predict()  # reload path (if anything was stored)
+    log2 = make_pred(mesh).predict()  # reload path
     assert log2 == log1
     assert {f.name: f.stat().st_mtime_ns for f in sorted(cache_dir.glob("*.jaxexe"))} == mtimes, (
         "mesh entries must not be added/rewritten on the second run"
@@ -627,13 +632,91 @@ def test_predictor_aot_cache_on_mesh(tmp_path):
     # meshless reference numerics must hold with or without the cache
     log_plain = make_pred(None).predict()
     assert log_plain["PSNR"] == pytest.approx(log1["PSNR"], rel=1e-5)
-    if not entries:  # store refused by validation: in-process poisoning
-        pytest.skip("AOT store refused by validation (compilation-cache "
-                    "poisoning in-suite) — store/hit covered by "
+
+
+def test_double_buffer_order_and_eager():
+    """DoubleBuffer finishes every pushed item exactly once, in push order,
+    one push behind (immediately when eager); drain flushes the tail."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils.dispatch import (
+        DoubleBuffer,
+    )
+
+    done = []
+    pipe = DoubleBuffer(done.append)
+    for i in range(4):
+        pipe.push(i)
+        assert done == list(range(i))  # always one behind
+    pipe.drain()
+    assert done == [0, 1, 2, 3]
+    pipe.drain()  # idempotent
+    assert done == [0, 1, 2, 3]
+
+    done_eager = []
+    pipe = DoubleBuffer(done_eager.append, eager=True)
+    for i in range(3):
+        pipe.push(i)
+        assert done_eager == list(range(i + 1))  # immediate
+    pipe.drain()
+    assert done_eager == [0, 1, 2]
+
+
+def test_cached_dispatch_distinguishes_tree_structures(tmp_path):
+    """Two argument trees with identical leaf signatures but different
+    structures (None moves between slots) must map to different executables —
+    the in-memory key includes the pytree structure, not just leaf shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils.aot import (
+        cached_dispatch,
+    )
+
+    @jax.jit
+    def f(t):
+        return (0.0 if t["a"] is None else jnp.sum(t["a"])) + (
+            0.0 if t["b"] is None else 2.0 * jnp.sum(t["b"])
+        )
+
+    call = cached_dispatch(f, str(tmp_path / "aot"), "tree")
+    x = jnp.ones((3,), jnp.float32)
+    assert float(call({"a": x, "b": None})) == pytest.approx(3.0)
+    # same leaf signature, different structure: must NOT reuse the first
+    # executable (tree-mismatch crash) — it recompiles under its own key
+    assert float(call({"a": None, "b": x})) == pytest.approx(6.0)
+    assert float(call({"a": x, "b": None})) == pytest.approx(3.0)  # still cached
+
+
+def test_aot_disk_hit_validates_by_running(tmp_path):
+    """A cache entry that deserializes cleanly but cannot EXECUTE for this
+    program (here: a different program's executable under our key) must
+    degrade to a recompile at load — never crash the caller's first step."""
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils import (
+        aot,
+    )
+
+    cache = tmp_path / "aot"
+    f1 = jax.jit(lambda x: x + 1.0)
+    f2 = jax.jit(lambda x, y: x @ y)  # different arity/shapes → cannot run as f1
+    x = jnp.ones((4,), jnp.float32)
+    m = jnp.ones((2, 2), jnp.float32)
+    aot.compile_cached(f1, (x,), cache, tag="a")
+    aot.compile_cached(f2, (m, m), cache, tag="b")
+    e1 = sorted(cache.glob("a-*.jaxexe"))
+    e2 = sorted(cache.glob("b-*.jaxexe"))
+    if not (e1 and e2):
+        pytest.skip("AOT store refused by validation in-suite — covered by "
                     "test_aot_cache_across_processes")
-
-
-def test_vsr_t_bucketing_wrap_math():
+    # plant f2's executable under f1's key: unpickles + deserializes fine,
+    # but executing it with f1's args fails — the hit path must catch that
+    shutil.copy(e2[0], e1[0])
+    compiled = aot.compile_cached(f1, (x,), cache, tag="a")
+    out = np.asarray(compiled(x))
+    np.testing.assert_allclose(out, np.full((4,), 2.0, np.float32))
     """t_bucket pads the cycle circularly: core frames wrap mod T, the
     trailing warm-up margin is rebuilt to follow the extended core."""
     from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.predictors import (
