@@ -242,7 +242,24 @@ def cached_dispatch(jitted_fn, cache_dir, tag: str, static_argnums: tuple = ()):
     static-arg values) in memory, filling misses through the disk cache.
     The compiled call receives only the dynamic arguments (static_argnums
     values are baked into each executable).  Donation declared on the jit is
-    preserved through serialization (round-trip tested)."""
+    preserved through serialization (round-trip tested).
+
+    Multi-process runs bypass the cache: validation executes the program an
+    extra time, and a hit on one process vs a miss (or serialize-refusal, or
+    cache-isolated retry) on a peer gives the processes DIFFERENT execution
+    counts of the same collective program — the launches pair up wrongly and
+    the job hangs or corrupts, the same failure class as the persistent
+    compilation cache's Gloo rendezvous deadlock (parallel/distributed.py).
+    Per-process asymmetry is inherent to a disk cache (host-local dirs,
+    partial prepopulation), so the only symmetric choice is OFF for all.
+    """
+    if jax.process_count() > 1:
+        LOG.warning(
+            f"AOT executable cache disabled for {tag}: multi-process run "
+            "(asymmetric cache hits would desynchronize collective "
+            "execution counts across processes)."
+        )
+        return lambda *args: jitted_fn(*args)
     statics = tuple(static_argnums)
     executables: dict = {}
 

@@ -717,6 +717,30 @@ def test_aot_disk_hit_validates_by_running(tmp_path):
     compiled = aot.compile_cached(f1, (x,), cache, tag="a")
     out = np.asarray(compiled(x))
     np.testing.assert_allclose(out, np.full((4,), 2.0, np.float32))
+
+
+def test_cached_dispatch_bypassed_multiprocess(tmp_path, monkeypatch):
+    """Multi-process runs must bypass the AOT executable cache entirely:
+    per-process hit asymmetry would desynchronize collective execution
+    counts (utils/aot.py cached_dispatch docstring).  The wrapper must
+    still compute correctly and write NO cache entries."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils import (
+        aot,
+    )
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    cache = tmp_path / "aot"
+    f = jax.jit(lambda x, n: x * n, static_argnums=(1,))
+    call = aot.cached_dispatch(f, str(cache), "mp", static_argnums=(1,))
+    x = jnp.ones((3,), jnp.float32)
+    np.testing.assert_allclose(np.asarray(call(x, 3)), 3.0)
+    assert not list(cache.glob("*.jaxexe"))  # nothing stored
+
+
+def test_vsr_t_bucketing_wrap_math():
     """t_bucket pads the cycle circularly: core frames wrap mod T, the
     trailing warm-up margin is rebuilt to follow the extended core."""
     from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.predictors import (
