@@ -270,7 +270,7 @@ def v100_roofline(ours_fp32: dict, headline_fps: float) -> dict:
     }
 
 
-def main():
+def _measure() -> dict:
     import os
 
     # fp32 first (the roofline's FLOP count + the comparable protocol), then
@@ -315,33 +315,106 @@ def main():
     baseline = bench_torch_reference()
     fps = headline["frames_per_sec"]
     vs = fps / baseline["frames_per_sec"] if baseline else None
-    print(
-        json.dumps(
-            {
-                "metric": "refine_net_x4_sr_frames_per_sec",
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(vs, 3) if vs is not None else None,
-                "detail": {
-                    "ours": headline,
-                    "ours_fp32": ours_fp32,
-                    "train": train,
-                    "baseline": baseline,
-                    # honesty: the measured baseline is the PyTorch reference
-                    # on this host's CPU (the only directly measurable one);
-                    # the ">=2x V100" target is closed by the analytic FLOP
-                    # roofline below, not by a V100 measurement.
-                    "baseline_kind": "reference-cpu",
-                    "v100_target": v100_roofline(ours_fp32, fps),
-                    "protocol": (
-                        f"batch {BATCH}, {CORE_T}+2x{U} frames, "
-                        f"{LR_HW}x{LR_HW} LR, x4, {headline.get('compute_dtype', 'float32')} "
-                        "(headline; fp32 in ours_fp32)"
-                    ),
-                },
-            }
-        )
+    return {
+        "metric": "refine_net_x4_sr_frames_per_sec",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+        "detail": {
+            "ours": headline,
+            "ours_fp32": ours_fp32,
+            "train": train,
+            "baseline": baseline,
+            # honesty: the measured baseline is the PyTorch reference
+            # on this host's CPU (the only directly measurable one);
+            # the ">=2x V100" target is closed by the analytic FLOP
+            # roofline below, not by a V100 measurement.
+            "baseline_kind": "reference-cpu",
+            "v100_target": v100_roofline(ours_fp32, fps),
+            "protocol": (
+                f"batch {BATCH}, {CORE_T}+2x{U} frames, "
+                f"{LR_HW}x{LR_HW} LR, x4, {headline.get('compute_dtype', 'float32')} "
+                "(headline; fp32 in ours_fp32)"
+            ),
+        },
+    }
+
+
+LAST_STAMP = REPO / "BENCH_LAST.json"
+
+
+def main():
+    """Watchdog wrapper: the axon tunnel can go UNAVAILABLE, and a jax device
+    op then blocks FOREVER (observed: ``jax.devices()`` hung >10 min while the
+    plugin registered fine) — a bench that never prints is useless to the
+    driver.  The measurement runs in a daemon thread; if it does not finish
+    within EVSR_BENCH_TIMEOUT seconds (default 1500 — the flagship compile
+    alone is 5-10 min through the tunnel), the last committed on-chip
+    measurement (BENCH_LAST.json) is printed instead, unmistakably flagged
+    ``degraded: true`` with the commit it was measured at.  A successful run
+    refreshes the stamp."""
+    import os
+    import threading
+
+    out: dict = {}
+    err: list = []
+
+    def work():
+        try:
+            out.update(_measure())
+        except Exception as e:  # surfaced below — never die silently
+            err.append(f"{type(e).__name__}: {e}")
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("EVSR_BENCH_TIMEOUT", "1500")))
+    if out:
+        try:
+            import subprocess
+
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or None
+        except Exception:
+            head = None
+        stamp = dict(out)
+        stamp["measured_at_commit"] = head
+        try:
+            LAST_STAMP.write_text(json.dumps(stamp, indent=1))
+        except OSError:
+            pass
+        print(json.dumps(out))
+        return
+    reason = (
+        err[0] if err
+        else "timed out (device unreachable — axon tunnel down?)"
     )
+    fallback = None
+    if LAST_STAMP.exists():
+        try:
+            fallback = json.loads(LAST_STAMP.read_text())
+        except Exception:
+            fallback = None
+    if fallback:
+        fallback.setdefault("detail", {})
+        fallback["detail"]["degraded"] = True
+        fallback["detail"]["degraded_reason"] = (
+            f"bench did not complete this run ({reason}); these numbers are "
+            "the last real on-chip measurement, NOT a fresh one — see "
+            f"measured_at_commit ({fallback.get('measured_at_commit')})"
+        )
+        print(json.dumps(fallback))
+    else:
+        print(json.dumps({
+            "metric": "refine_net_x4_sr_frames_per_sec",
+            "value": None,
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "detail": {"error": reason},
+        }))
+    # the stuck jax runtime may hold non-daemon threads — exit hard
+    os._exit(0)
 
 
 if __name__ == "__main__":
