@@ -1,4 +1,15 @@
-from . import checkpoint, loggers, monitor, optim, predictors, trainers
+from . import checkpoint, loggers, monitor, optim, predictors, streaming, trainers
 from .monitor import Monitor
+from .streaming import FRVSRStream
 
-__all__ = ["checkpoint", "loggers", "monitor", "optim", "predictors", "trainers", "Monitor"]
+__all__ = [
+    "checkpoint",
+    "loggers",
+    "monitor",
+    "optim",
+    "predictors",
+    "streaming",
+    "trainers",
+    "Monitor",
+    "FRVSRStream",
+]
