@@ -76,7 +76,6 @@ class BaseTrainer:
         checkpoint_backend: str = "pickle",
         compute_dtype: str | None = None,
         grad_accum_steps: int = 1,
-        remat: bool = False,
         aot_cache: str | None = None,
     ):
         self.device = device
@@ -109,15 +108,6 @@ class BaseTrainer:
         # thereby average at microbatch granularity); BN batch_stats update
         # sequentially per microbatch.
         self.grad_accum_steps = max(1, int(grad_accum_steps))
-        # TPU extension (no reference counterpart): full forward
-        # rematerialization under the backward (jax.checkpoint) — activations
-        # are recomputed instead of stored, trading roughly one extra
-        # forward's FLOPs for the whole batch/clip's activation memory (HBM
-        # is the usual TPU bottleneck).  Composes with grad_accum_steps (the
-        # microbatch forward is what gets rematerialized) and with the ZeRO-3
-        # mesh (the gathered-kernel copies are recomputed, not stored).
-        # Numerics are identical — same ops, tested against the plain step.
-        self.remat = bool(remat)
         # TPU extension: persistent AOT *executable* cache (utils/aot.py) —
         # a preemption-resume restart skips the multi-minute train-step
         # compile that jax's persistent compilation cache does not avoid on
@@ -227,18 +217,12 @@ class BaseTrainer:
             return total, (losses, outputs, new_state)
 
         accum = self.grad_accum_steps
-        # the eval path stays un-checkpointed: remat only changes the VJP
-        grad_target = (
-            jax.checkpoint(forward_losses, static_argnums=(3,))
-            if self.remat
-            else forward_losses
-        )
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, opt_state, state, batch):
             if accum <= 1:
                 (total, (losses, outputs, state)), grads = jax.value_and_grad(
-                    grad_target, has_aux=True
+                    forward_losses, has_aux=True
                 )(params, state, batch, True)
                 metrics = self._compute_metrics(outputs, batch)
             else:
@@ -263,7 +247,7 @@ class BaseTrainer:
                 def body(carry, mb):
                     state, grads_acc, total_acc, losses_acc, metrics_acc = carry
                     (total, (losses, outputs, state)), grads = jax.value_and_grad(
-                        grad_target, has_aux=True
+                        forward_losses, has_aux=True
                     )(params, state, mb, True)
                     metrics = self._compute_metrics(outputs, mb)
                     carry = (

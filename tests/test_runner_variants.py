@@ -467,50 +467,6 @@ def test_grad_accum_matches_plain_step():
     np.testing.assert_allclose(out2, out1, atol=1e-4, rtol=1e-4)
 
 
-def test_remat_matches_plain_step():
-    """remat: true — jax.checkpoint'd forward (activations recomputed under
-    the backward, the HBM/FLOPs trade) must reproduce the plain step's loss
-    trajectory and params; also composed with grad_accum_steps (the
-    microbatch forward is what gets rematerialized)."""
-    import jax
-
-    def run(remat, accum=1):
-        net = nets.EDSRNet(
-            in_channels=1, out_channels=1, num_resblocks=2, num_features=8,
-            upscale_factor=4,
-        )
-        items = [
-            {
-                "lr_img": np.random.default_rng(i).standard_normal((8, 8, 1)).astype(np.float32),
-                "hr_img": np.random.default_rng(100 + i).standard_normal((32, 32, 1)).astype(np.float32),
-                "index": i,
-            }
-            for i in range(4)
-        ]
-        trainer = _make_trainer(
-            "AcdcSISRTrainer", net, items, num_epochs=2,
-            grad_accum_steps=accum, remat=remat,
-        )
-        logs = []
-        for _ in range(2):
-            log, _, _ = trainer._run_epoch("training")
-            logs.append(log)
-        return logs, trainer.params
-
-    logs_plain, params_plain = run(remat=False)
-    logs_remat, params_remat = run(remat=True)
-    for l1, l2 in zip(logs_plain, logs_remat):
-        assert l2["Loss"] == pytest.approx(l1["Loss"], rel=1e-6)
-    for a, b in zip(jax.tree.leaves(params_plain), jax.tree.leaves(params_remat)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
-
-    logs_both, params_both = run(remat=True, accum=2)
-    for l1, l2 in zip(logs_plain, logs_both):
-        assert l2["Loss"] == pytest.approx(l1["Loss"], rel=1e-5)
-    for a, b in zip(jax.tree.leaves(params_plain), jax.tree.leaves(params_both)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
-
-
 def test_grad_accum_rejects_indivisible_batch():
     net = nets.EDSRNet(in_channels=1, out_channels=1, num_resblocks=1,
                        num_features=4, upscale_factor=4)
