@@ -115,6 +115,13 @@ class FRVSRNet(nn.Module):
     #: exact while true flows stay within R — ops/warp.py).  None = exact
     #: unbounded reference semantics.
     max_flow: int | None = None
+    #: TPU extension: rematerialize each frame step in the backward — the
+    #: stacked per-frame FNet/SRNet residuals reduce to the (lr, sr) carries
+    #: (temp memory 0.28x at T=10, XLA memory analysis).  Same ops; grads
+    #: match to ~7e-7 of each leaf's scale, T-independent (XLA re-optimizes
+    #: the recomputed forward — scheduling ulps, tested).  See
+    #: refine_net.ConvLSTM.
+    remat: bool = False
 
     def __post_init__(self):
         super().__post_init__()
@@ -128,8 +135,11 @@ class FRVSRNet(nn.Module):
         B, T, h, w, C = lr_imgs.shape
         r = self.upscale_factor
 
+        step_cls = (
+            nn.remat(_FRVSRStep, prevent_cse=False) if self.remat else _FRVSRStep
+        )
         scan = nn.scan(
-            _FRVSRStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,

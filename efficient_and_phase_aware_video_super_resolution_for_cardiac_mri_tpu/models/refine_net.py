@@ -86,6 +86,7 @@ class ConvLSTM(nn.Module):
     input_dim: int
     hidden_dims: Sequence[int]
     memory: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, num_updated_frames: int = 0) -> jnp.ndarray:
@@ -96,8 +97,19 @@ class ConvLSTM(nn.Module):
         # per-step while-loop overhead dominates clip latency (PERF_NOTES.md);
         # unrolling trades compile time for pipelining across steps
         unroll = int(os.environ.get("EVSR_SCAN_UNROLL", "1"))
+        # remat at the SCAN-STEP granularity: the backward recomputes each
+        # timestep from its carry, so the stacked per-step residuals (the
+        # gate/conv intermediates XLA would otherwise save T times) reduce to
+        # the carries alone.  Top-level jax.checkpoint around the whole loss
+        # was measured to save NOTHING (PERF_NOTES.md "Remat") — the
+        # recomputed forward stores its own residuals; only per-step remat
+        # moves peak memory.  prevent_cse=False is safe (and faster) inside
+        # scan per the jax.checkpoint docs.
+        step_cls = (
+            nn.remat(ConvLSTMStep, prevent_cse=False) if self.remat else ConvLSTMStep
+        )
         scan = nn.scan(
-            ConvLSTMStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,
@@ -228,6 +240,11 @@ class RefineNet(nn.Module):
     num_updated_frames: int = 0
     memory: bool = True
     positional_encoding: bool = False
+    #: TPU extension: rematerialize each ConvLSTM timestep in the backward
+    #: (see ConvLSTM.remat) — activation memory stops scaling with T·stages
+    #: at ~one extra forward of the LSTM spine (temp memory 0.68x at T=10,
+    #: XLA memory analysis).  Gradients bit-identical (tested).
+    remat: bool = False
 
     def __post_init__(self):
         super().__post_init__()
@@ -247,8 +264,10 @@ class RefineNet(nn.Module):
         Tc = T - 2 * U
 
         in_block = InBlock(F, self.in_channels, name="in_block")
-        fwd_lstm = ConvLSTM(F, tuple(self.num_features), self.memory, name="forward_lstm_block")
-        bwd_lstm = ConvLSTM(F, tuple(self.num_features), self.memory, name="backward_lstm_block")
+        fwd_lstm = ConvLSTM(F, tuple(self.num_features), self.memory, self.remat,
+                            name="forward_lstm_block")
+        bwd_lstm = ConvLSTM(F, tuple(self.num_features), self.memory, self.remat,
+                            name="backward_lstm_block")
         refine_block = RefineBlock(
             self.num_features[-1],
             self.refine_window_size,
