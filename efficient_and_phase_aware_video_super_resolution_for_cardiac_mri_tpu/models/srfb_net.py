@@ -159,6 +159,11 @@ class DRFNet(nn.Module):
     num_features: int
     num_groups: int
     upscale_factor: int
+    #: TPU extension: rematerialize each frame step in the backward — the
+    #: per-frame _FBlock/out-block residuals reduce to the feedback carry, so
+    #: training memory stops scaling with the 30-frame sequences this net
+    #: consumes.  See refine_net.ConvLSTM.remat.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -168,7 +173,7 @@ class DRFNet(nn.Module):
         feats = unfold_time(lrf(fold_time(x)[0]), (x.shape[0], x.shape[1]))
 
         scan = nn.scan(
-            _DRFStep,
+            nn.remat(_DRFStep, prevent_cse=False) if self.remat else _DRFStep,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,

@@ -275,6 +275,10 @@ class TestScanStepRemat:
         return M.FRVSRNet(in_channels=1, out_channels=1, upscale_factor=4,
                           remat=remat)
 
+    def _drf(self, remat):
+        return M.DRFNet(in_channels=1, out_channels=1, num_features=8,
+                        num_groups=2, upscale_factor=4, remat=remat)
+
     def test_refine_net_grads_bit_identical(self):
         lr = jnp.asarray(_lr((1, 6, 12, 12, 1), seed=3))
         pos = jnp.asarray(_lr((1, 6, 12, 12, 2), seed=4))
@@ -309,14 +313,36 @@ class TestScanStepRemat:
             scale = np.max(np.abs(a)) or 1.0
             assert np.max(np.abs(a - b)) <= 1e-5 * scale
 
-    @pytest.mark.parametrize("family", ["refine", "frvsr"])
+    def test_drf_grads_bit_identical(self):
+        lr = jnp.asarray(_lr((1, 8, 12, 12, 1), seed=7))
+        params = self._drf(False).init(jax.random.PRNGKey(0), lr)
+
+        def loss(net):
+            return lambda p: jnp.sum(net.apply(p, lr) ** 2)
+
+        g0 = jax.grad(loss(self._drf(False)))(params)
+        g1 = jax.grad(loss(self._drf(True)))(params)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("family", ["refine", "frvsr", "drf"])
     def test_backward_temp_memory_shrinks(self, family):
         """XLA memory analysis of the compiled backward: per-step remat must
-        cut temp bytes (measured 0.68x RefineNet / 0.28x FRVSR at T=10)."""
+        cut temp bytes (measured 0.68x RefineNet / 0.28x FRVSR at T=10;
+        0.13x DRFNet at T=20)."""
         T = 10
 
         def compiled_temp(remat):
-            if family == "refine":
+            if family == "drf":
+                net = self._drf(remat)
+                lr = jnp.zeros((1, 20, 16, 16, 1), jnp.float32)
+                params = net.init(jax.random.PRNGKey(0), lr)
+
+                def loss(p):
+                    return jnp.sum(net.apply(p, lr) ** 2)
+
+                args = (params,)
+            elif family == "refine":
                 net = self._refine(remat)
                 lr = jnp.zeros((2, T, 24, 24, 1), jnp.float32)
                 pos = jnp.zeros((2, T, 24, 24, 2), jnp.float32)
