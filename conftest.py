@@ -13,10 +13,31 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # -> warm 82 s on test_model_zoo.py; CPU-backend executables hit it fine —
 # only the big scan-heavy TPU graph doesn't, PERF_NOTES round 1).  Keyed by
 # backend+flags, so correctness is jax's problem, not ours; delete the dir to
-# force cold compiles.
+# force cold compiles.  The dir is ADDITIONALLY keyed by the host CPU's ISA
+# feature set: jax does NOT do that itself, and XLA:CPU AOT entries written
+# on one machine reload on another with machine-feature mismatch warnings
+# ("could lead to ... SIGILL") — observed when this repo's .cache moved
+# between build hosts.  Same hash as utils/aot.host_cpu_fingerprint (inlined:
+# that module imports jax, which must not happen before the env is set).
+import hashlib as _hashlib  # noqa: E402
+import platform as _platform  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.startswith("flags"):
+                _feats = " ".join(sorted(_line.split(":", 1)[1].split()))
+                break
+        else:
+            _feats = _platform.machine()
+except OSError:
+    _feats = _platform.machine()
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(__file__), ".cache", "jax"),
+    os.path.join(
+        os.path.dirname(__file__), ".cache", "jax",
+        _hashlib.sha256(_feats.encode()).hexdigest()[:12],
+    ),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

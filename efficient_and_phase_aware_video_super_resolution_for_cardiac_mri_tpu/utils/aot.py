@@ -43,6 +43,29 @@ LOG = logging.getLogger(__name__)
 _FORMAT_VERSION = 1
 
 
+def host_cpu_fingerprint() -> str:
+    """Short hash of the host CPU's ISA feature set.
+
+    XLA:CPU AOT results embed the compile machine's features; loading them on
+    a different host is at best warning spam and at worst SIGILL (observed:
+    entries cached on one build host reloaded on another with 'Target machine
+    feature ... is not supported on the host machine').  Keying caches by this
+    hash gives each distinct host CPU its own entries."""
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                feats = platform.machine()
+    except OSError:  # non-Linux
+        feats = platform.machine()
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+
+
 def backend_fingerprint() -> str:
     """Everything an executable is specialized to besides the program."""
     devs = jax.devices()
@@ -55,19 +78,21 @@ def backend_fingerprint() -> str:
     # PJRT runtime build (XLA commit / libtpu version) — catches runtime
     # upgrades that neither python package version reflects
     platform_version = getattr(devs[0].client, "platform_version", "unknown")
-    return json.dumps(
-        {
-            "format": _FORMAT_VERSION,
-            "jax": jax.__version__,
-            "jaxlib": jaxlib_version,
-            "platform": devs[0].platform,
-            "platform_version": str(platform_version),
-            "device_kind": devs[0].device_kind,
-            "n_devices": len(devs),
-            "process_count": jax.process_count(),
-        },
-        sort_keys=True,
-    )
+    fp = {
+        "format": _FORMAT_VERSION,
+        "jax": jax.__version__,
+        "jaxlib": jaxlib_version,
+        "platform": devs[0].platform,
+        "platform_version": str(platform_version),
+        "device_kind": devs[0].device_kind,
+        "n_devices": len(devs),
+        "process_count": jax.process_count(),
+    }
+    if devs[0].platform == "cpu":
+        # XLA:CPU executables are compiled FOR this host's ISA features;
+        # platform_version does not capture them
+        fp["host_cpu"] = host_cpu_fingerprint()
+    return json.dumps(fp, sort_keys=True)
 
 
 def _load_payload(payload):

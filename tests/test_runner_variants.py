@@ -837,3 +837,20 @@ def test_checkpoint_backend_switch_same_path(tmp_path):
         restored = ckpt_io.load_checkpoint(path)
         assert restored["epoch"] == epoch
         np.testing.assert_array_equal(np.asarray(restored["net"]["w"]), np.arange(4.0))
+
+
+def test_backend_fingerprint_keys_on_host_cpu():
+    """XLA:CPU AOT blobs embed the compile host's ISA features; a blob moved
+    to a different machine can warn or SIGILL at load.  On the cpu platform
+    the fingerprint must therefore include a stable host-CPU hash (and the
+    hash itself must be deterministic within one host)."""
+    import json
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils import aot
+
+    h1, h2 = aot.host_cpu_fingerprint(), aot.host_cpu_fingerprint()
+    assert h1 == h2 and len(h1) == 12
+
+    fp = json.loads(aot.backend_fingerprint())
+    assert fp["platform"] == "cpu"  # conftest pins the cpu backend
+    assert fp["host_cpu"] == h1
