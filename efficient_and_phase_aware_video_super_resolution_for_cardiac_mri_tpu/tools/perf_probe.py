@@ -504,6 +504,77 @@ def probe_train_split(T, HW, dtype, iters):
     return out
 
 
+def probe_remat_train(T, HW, dtype, iters, batch=16, patch=32, tc=7,
+                      margins=6, feats=(64, 64, 64)):
+    """Per-scan-step remat A/B at the flagship training protocol: steps/sec
+    and XLA-reported temp/peak memory, remat off vs on, same process.
+
+    The memory side is already pinned by CPU memory analysis (PERF_NOTES
+    "Remat"); this probe prices the FLOPs side ON CHIP — the backward
+    recomputes each ConvLSTM step, so expect roughly one extra LSTM-spine
+    forward per step.  Protocol shapes fixed like train_split; --t/--hw
+    ignored."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models import RefineNet
+
+    rng = np.random.default_rng(0)
+    B, TC, P = batch, tc, patch
+    Tt = TC + 2 * margins
+    lr = jnp.asarray(rng.standard_normal((B, Tt, P, P, 1)), dtype)
+    pos = jnp.asarray(rng.uniform(-1, 1, (B, Tt, 1)), dtype)
+    hr = jnp.asarray(rng.standard_normal((B, TC, P * 4, P * 4, 1)), dtype)
+
+    out = {"note": "protocol shapes fixed (batch 16, 32x32, 7+2x6 frames); --t/--hw ignored"}
+    for label, remat in (("plain", False), ("remat", True)):
+        model = RefineNet(
+            in_channels=1, out_channels=1, num_features=list(feats),
+            upscale_factor=4, num_stages=len(feats), update_memory=True,
+            num_updated_frames=margins, refine_window_size=5,
+            positional_encoding=True, remat=remat,
+        )
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), lr, pos)["params"]
+        params = jax.tree.map(lambda a: a.astype(dtype), params)
+        tx = optax.adam(1e-4)
+        opt_state = tx.init(params)
+
+        def loss_fn(p):
+            outs = model.apply({"params": p}, lr, pos)
+            n = len(outs) // 3
+            return sum(
+                (0.5 ** (n - i // 3 - 1)) * jnp.mean(jnp.abs(o - hr))
+                for i, o in enumerate(outs)
+            )
+
+        @jax.jit
+        def step(p, s):
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        try:
+            ma = step.lower(params, opt_state).compile().memory_analysis()
+            out[f"{label}_temp_mb"] = round(ma.temp_size_in_bytes / 1e6, 1)
+        except Exception:
+            pass
+        p, s = params, opt_state
+        p, s, l = step(p, s)
+        float(l)  # compile + warm; fetch to sync (block_until_ready lies on axon)
+        t0 = time.perf_counter()
+        for _ in range(max(iters, 4)):
+            p, s, l = step(p, s)
+        float(l)
+        out[f"{label}_steps_per_sec"] = round(max(iters, 4) / (time.perf_counter() - t0), 3)
+    if out.get("plain_steps_per_sec"):
+        out["remat_slowdown"] = round(
+            out["plain_steps_per_sec"] / out["remat_steps_per_sec"], 3
+        )
+    out["sec"] = 1.0 / out["remat_steps_per_sec"]
+    return out
+
+
 def probe_edvr_full(T, HW, dtype, iters, n_pipeline=16):
     """Full EDVR at the zoo config (nf=128, 40 recon ResBlocks, 5-frame
     window), same-process A/B: exact gather DCN vs the windowed
@@ -861,6 +932,7 @@ PROBES = {
     "edvr_full": probe_edvr_full,
     "edvr_train": probe_edvr_train,
     "train_split": probe_train_split,
+    "remat_train": probe_remat_train,
     "warp": probe_warp,
     "toflow_full": probe_toflow_full,
     "frvsr_full": probe_frvsr_full,

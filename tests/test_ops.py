@@ -278,3 +278,19 @@ def test_flow_warp_bf16_coordinates_are_exact():
     )
     s32 = stn_warp(x32, jnp.zeros((1, 8, W), jnp.float32), jnp.zeros((1, 8, W), jnp.float32))
     np.testing.assert_allclose(np.asarray(s16, np.float32), np.asarray(s32), atol=1.01)
+
+
+def test_perf_probe_remat_train_smoke():
+    """remat_train probe graph guards (tiny shapes override the protocol)."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools import (
+        perf_probe,
+    )
+    import jax.numpy as jnp
+
+    row = perf_probe.probe_remat_train(
+        0, 0, jnp.float32, 1, batch=2, patch=8, tc=3, margins=1, feats=(6, 6)
+    )
+    assert row["plain_steps_per_sec"] > 0 and row["remat_steps_per_sec"] > 0
+    assert row["remat_slowdown"] > 0
+    # the memory claim the knob exists for
+    assert row["remat_temp_mb"] < row["plain_temp_mb"]
