@@ -294,3 +294,18 @@ def test_perf_probe_remat_train_smoke():
     assert row["remat_slowdown"] > 0
     # the memory claim the knob exists for
     assert row["remat_temp_mb"] < row["plain_temp_mb"]
+
+
+def test_pred_pipeline_ab_smoke():
+    """The pipelined-vs-eager predictor A/B tool runs end-to-end on CPU and
+    reports both modes (guards the tool against predictor/dataset drift)."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools import (
+        pred_pipeline_ab,
+    )
+
+    row = pred_pipeline_ab.main(
+        ["--device", "cpu", "--frames", "8", "--hr", "48",
+         "--feats", "6", "--margins", "2", "--rounds", "1"]
+    )
+    assert row["pipelined_sec"] > 0 and row["eager_sec"] > 0
+    assert row["items"] == 4  # 2 patients x 2 slices in the test split
