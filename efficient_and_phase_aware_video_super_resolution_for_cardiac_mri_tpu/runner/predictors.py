@@ -29,6 +29,7 @@ import numpy as np
 from ..config import PREDICTORS
 from ..parallel import gather_for_compute, partition_tree, shard_batch
 from ..utils.casting import cast_floating
+from ..utils import nifti
 from ..utils.dispatch import DoubleBuffer
 from ..utils.stats import get_stats
 from . import checkpoint as ckpt_io
@@ -73,6 +74,7 @@ class BasePredictor:
         compute_dtype: str | None = None,
         pad_h: bool = False,
         aot_cache: str | None = None,
+        export_nifti: bool = False,
     ):
         self.device = device
         # TPU extension (no reference counterpart): pad variable-length
@@ -110,9 +112,15 @@ class BasePredictor:
             raise ValueError(
                 f"The testing batch size should be 1. Got {test_dataloader.batch_size}."
             )
-        if exported:
+        if exported or export_nifti:
             self.saved_dir = Path(saved_dir)
         self.exported = exported
+        # TPU-rebuild extension (no reference counterpart): write the SR
+        # output back as NIfTI volumes in the preprocessed trees' (H, W, 1, T)
+        # layout — the artifact clinical/research consumers load, alongside
+        # the reference's CSV/GIF/PNG.  Values are the display protocol
+        # (denormalized, rounded, clamped — identical to what metrics see).
+        self.export_nifti = bool(export_nifti)
         if dataset_stats:
             self.dataset_stats = dataset_stats
         self.mean, self.std = get_stats(self.dataset_stats)
@@ -294,6 +302,8 @@ class BasePredictor:
             frames += T
             if self.exported:
                 self._export_item(results, filename, patient, sid, losses, metrics, out_d)
+            if self.export_nifti:
+                self._export_nifti_item(patient, sid, out_d)
             weight = self.test_dataloader.batch_size * T
             log["Loss"] += float(total) * weight
             for fn, col in zip(self.loss_fns, losses.mean(axis=0)):
@@ -325,6 +335,8 @@ class BasePredictor:
         self.throughput = {"frames_per_sec": frames / elapsed, "frames": frames}
         if self.exported:
             self._finish_export(results)
+        if self.export_nifti:
+            self._finish_nifti()
         for key in log:
             log[key] /= max(count, 1)
         LOG.info(f"Test log: {log}.")
@@ -333,6 +345,17 @@ class BasePredictor:
 
     def _export_item(self, results, filename, patient, sid, losses, metrics, out_d):
         raise NotImplementedError
+
+    def _export_nifti_item(self, patient, sid, out_d):
+        """Whole-sequence items (VSR family): (1, T, H, W, 1) SR back to the
+        source trees' (H, W, 1, T) NIfTI layout, one file per sequence."""
+        sr = np.transpose(np.asarray(out_d, np.float32)[0], (1, 2, 3, 0))
+        path = (self.saved_dir / "nifti" / patient
+                / f"{sid.replace('slice', 'sequence')}.nii.gz")
+        nifti.save(sr, path)
+
+    def _finish_nifti(self):
+        pass
 
     def _finish_export(self, results):
         with open(self.saved_dir / "results.csv", "w", newline="") as f:
@@ -366,6 +389,8 @@ class SISRPredictor(BasePredictor):
         super().__init__(**kwargs)
         self._gif_buffer: list = []
         self._gif_key = None
+        self._nifti_buffer: list = []
+        self._nifti_key = None
 
     def _model_inputs(self, batch):
         return (batch["lr_img"],)
@@ -401,6 +426,29 @@ class SISRPredictor(BasePredictor):
         videos_dir.mkdir(parents=True, exist_ok=True)
         _dump_video(videos_dir / f"{sid.replace('slice', 'sequence')}.gif", self._gif_buffer)
         self._gif_buffer = []
+
+    def _export_nifti_item(self, patient, sid, out_d):
+        """Frame items: buffer per (patient, slice) in dispatch order (the
+        loader is unshuffled, so frames arrive consecutively like the GIF
+        assembly relies on) and write the stacked (H, W, 1, T) volume on
+        key change."""
+        key = (patient, sid)
+        if self._nifti_key is not None and key != self._nifti_key and self._nifti_buffer:
+            self._flush_nifti()
+        self._nifti_buffer.append(np.asarray(out_d, np.float32)[0])
+        self._nifti_key = key
+
+    def _flush_nifti(self):
+        patient, sid = self._nifti_key
+        sr = np.stack(self._nifti_buffer, axis=-1)  # (H, W, 1, T)
+        path = (self.saved_dir / "nifti" / patient
+                / f"{sid.replace('slice', 'sequence')}.nii.gz")
+        nifti.save(sr, path)
+        self._nifti_buffer = []
+
+    def _finish_nifti(self):
+        if self._nifti_buffer:
+            self._flush_nifti()
 
     def _finish_export(self, results):
         if self._gif_buffer:

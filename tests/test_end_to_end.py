@@ -141,7 +141,8 @@ def _test_cfg(tree, train_dir, saved_dir) -> Cfg:
             ],
             "predictor": {
                 "name": "AcdcVSRRefineNetPredictor",
-                "kwargs": {"device": "cuda:0", "saved_dir": str(saved_dir), "exported": True},
+                "kwargs": {"device": "cuda:0", "saved_dir": str(saved_dir), "exported": True,
+                           "export_nifti": True},
             },
         }
     )
@@ -213,6 +214,24 @@ def test_predict_exports(tree, trained, tmp_path_factory):
     pngs = list((out_dir / "imgs").rglob("*.png"))
     assert len(gifs) == n_items
     assert len(pngs) == n_items * 10
+    # export_nifti: one (H, W, 1, T) volume per sequence in the source
+    # layout, values identical to the PNG/GIF display protocol
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils import (
+        nifti,
+    )
+
+    niis = sorted((out_dir / "nifti").rglob("*.nii.gz"))
+    assert len(niis) == n_items
+    vol = nifti.load(niis[0]).get_data()
+    assert vol.shape == (48, 48, 1, 10) and vol.dtype == np.float32
+    import imageio.v2 as imageio
+
+    patient = niis[0].parent.name
+    png = imageio.imread(
+        out_dir / "imgs" / patient
+        / f"{niis[0].name.split('.')[0].split('_')[-1].replace('sequence', 'slice')}_frame01.png"
+    )
+    np.testing.assert_array_equal(vol[..., 0, 0].astype(np.uint8), png)
 
 
 def test_predict_pipelined_equals_eager(tree, trained, tmp_path_factory, monkeypatch):
@@ -234,7 +253,7 @@ def test_predict_pipelined_equals_eager(tree, trained, tmp_path_factory, monkeyp
     files_e, files_p = rel(out_eager), rel(out_pipe)
     assert files_p == files_e
     for f in files_p:
-        if f.suffix in (".gif", ".png"):
+        if f.suffix in (".gif", ".png", ".gz"):
             assert (out_pipe / f).read_bytes() == (out_eager / f).read_bytes(), f
 
 
@@ -464,3 +483,51 @@ def test_t_bucketing_on_variable_length_patients(tmp_path_factory):
     with open(out_dir / "results.csv") as f:
         rows = list(_csv.reader(f))
     assert len(rows) - 1 == (9 + 11) * 2
+
+
+def test_sisr_export_nifti_assembles_frames(tree, tmp_path_factory):
+    """SISR items are single frames; export_nifti must assemble them per
+    (patient, slice) in dispatch order into one (H, W, 1, T) volume — the
+    same cross-item grouping the GIF assembly uses."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils import (
+        nifti as nifti_io,
+    )
+
+    out_dir = tmp_path_factory.mktemp("sisr_nifti")
+    cfg = Cfg(
+        {
+            "main": {"saved_dir": str(out_dir)},
+            "dataset": {
+                "name": "AcdcSISRDataset",
+                "kwargs": {
+                    "data_dir": str(tree["imgs_dir"]),
+                    "downscale_factor": 4,
+                    "transforms": [
+                        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+                        {"name": "ToTensor"},
+                    ],
+                },
+            },
+            "dataloader": {
+                "name": "Dataloader",
+                "kwargs": {"batch_size": 1, "shuffle": False, "num_workers": 0},
+            },
+            "net": {"name": "Bicubic", "kwargs": {"upscale_factor": 4}},
+            "losses": [{"name": "L1Loss", "weight": 1.0}],
+            "metrics": [{"name": "PSNR"}],
+            "predictor": {
+                "name": "AcdcSISRPredictor",
+                "kwargs": {"device": "cpu", "saved_dir": str(out_dir),
+                           "exported": True, "export_nifti": True},
+            },
+        }
+    )
+    predictor = run_test_config(cfg)
+    n_frames = len(predictor.test_dataloader.dataset)
+    niis = sorted((out_dir / "nifti").rglob("*.nii.gz"))
+    vols = [nifti_io.load(p).get_data() for p in niis]
+    assert sum(v.shape[-1] for v in vols) == n_frames
+    assert all(v.shape[:3] == (48, 48, 1) for v in vols)
+    # every slice got exactly one volume, matching its GIF's frame count
+    gifs = sorted((out_dir / "videos").rglob("*.gif"))
+    assert len(niis) == len(gifs)
