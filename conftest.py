@@ -17,26 +17,26 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # feature set: jax does NOT do that itself, and XLA:CPU AOT entries written
 # on one machine reload on another with machine-feature mismatch warnings
 # ("could lead to ... SIGILL") — observed when this repo's .cache moved
-# between build hosts.  Same hash as utils/aot.host_cpu_fingerprint (inlined:
-# that module imports jax, which must not happen before the env is set).
-import hashlib as _hashlib  # noqa: E402
-import platform as _platform  # noqa: E402
+# between build hosts.  The helper is loaded BY FILE PATH: importing it as a
+# package submodule would execute utils/__init__, which pulls jax before the
+# env above is set.
+import importlib.util as _ilu  # noqa: E402
 
-try:
-    with open("/proc/cpuinfo") as _f:
-        for _line in _f:
-            if _line.startswith("flags"):
-                _feats = " ".join(sorted(_line.split(":", 1)[1].split()))
-                break
-        else:
-            _feats = _platform.machine()
-except OSError:
-    _feats = _platform.machine()
+_spec = _ilu.spec_from_file_location(
+    "_evsr_hostid",
+    os.path.join(
+        os.path.dirname(__file__),
+        "efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu",
+        "utils", "hostid.py",
+    ),
+)
+_hostid = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_hostid)
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(
         os.path.dirname(__file__), ".cache", "jax",
-        _hashlib.sha256(_feats.encode()).hexdigest()[:12],
+        _hostid.host_cpu_fingerprint(),
     ),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")

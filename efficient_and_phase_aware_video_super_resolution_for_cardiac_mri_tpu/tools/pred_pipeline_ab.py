@@ -76,30 +76,41 @@ def main(argv=None):
     )
     loader = Dataloader(ds, batch_size=1, shuffle=False, num_workers=0)
 
+    # ONE predictor serves both modes: predict() reads EVSR_EAGER_EVAL at
+    # call time, so the eval graph compiles once (a compile is 5-10 min
+    # through the tunnel — per-mode predictors would pay it 2x rounds times)
+    pred = PREDICTORS.get("AcdcVSRRefineNetPredictor")(
+        device=args.device, net=net,
+        loss_fns=[L.LOSSES.get("L1Loss")()], loss_weights=[1.0],
+        metric_fns=[ME.METRICS.get("PSNR")()],
+        saved_dir=str(root / "out"),
+        exported=False, test_dataloader=loader,
+    )
+    batch = {
+        k: (np.asarray(v)[None] if hasattr(v, "ndim") else [v])
+        for k, v in ds[0].items()
+    }
+    pred.init_params_like(batch)
+
     def run(eager: bool) -> float:
         os.environ["EVSR_EAGER_EVAL"] = "1" if eager else ""
-        pred = PREDICTORS.get("AcdcVSRRefineNetPredictor")(
-            device=args.device, net=net,
-            loss_fns=[L.LOSSES.get("L1Loss")()], loss_weights=[1.0],
-            metric_fns=[ME.METRICS.get("PSNR")()],
-            saved_dir=str(root / ("eager" if eager else "pipe")),
-            exported=False, test_dataloader=loader,
-        )
-        batch = {
-            k: (np.asarray(v)[None] if hasattr(v, "ndim") else [v])
-            for k, v in ds[0].items()
-        }
-        pred.init_params_like(batch)
-        pred.predict()  # warm: compile + first dispatch
         t0 = time.perf_counter()
         pred.predict()
         return time.perf_counter() - t0
 
-    # interleave modes to cancel tunnel drift within the process
-    times = {"pipe": [], "eager": []}
-    for _ in range(args.rounds):
-        times["pipe"].append(run(False))
-        times["eager"].append(run(True))
+    prev_mode = os.environ.get("EVSR_EAGER_EVAL")
+    try:
+        run(False)  # warm: compile + first dispatch
+        # interleave modes to cancel tunnel drift within the process
+        times = {"pipe": [], "eager": []}
+        for _ in range(args.rounds):
+            times["pipe"].append(run(False))
+            times["eager"].append(run(True))
+    finally:  # never leak the mode into the calling process's later evals
+        if prev_mode is None:
+            os.environ.pop("EVSR_EAGER_EVAL", None)
+        else:
+            os.environ["EVSR_EAGER_EVAL"] = prev_mode
     pipe, eager = float(np.median(times["pipe"])), float(np.median(times["eager"]))
     n_frames = len(ds) * args.frames
     result = {

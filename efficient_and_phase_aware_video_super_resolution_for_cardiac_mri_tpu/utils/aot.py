@@ -43,27 +43,7 @@ LOG = logging.getLogger(__name__)
 _FORMAT_VERSION = 1
 
 
-def host_cpu_fingerprint() -> str:
-    """Short hash of the host CPU's ISA feature set.
-
-    XLA:CPU AOT results embed the compile machine's features; loading them on
-    a different host is at best warning spam and at worst SIGILL (observed:
-    entries cached on one build host reloaded on another with 'Target machine
-    feature ... is not supported on the host machine').  Keying caches by this
-    hash gives each distinct host CPU its own entries."""
-    import platform
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
-            else:
-                feats = platform.machine()
-    except OSError:  # non-Linux
-        feats = platform.machine()
-    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+from .hostid import host_cpu_fingerprint  # noqa: E402  (re-export; see hostid.py)
 
 
 def backend_fingerprint() -> str:

@@ -309,3 +309,20 @@ def test_pred_pipeline_ab_smoke():
     )
     assert row["pipelined_sec"] > 0 and row["eager_sec"] > 0
     assert row["items"] == 4  # 2 patients x 2 slices in the test split
+
+
+def test_pred_pipeline_ab_restores_env(monkeypatch):
+    """The A/B tool must not leak EVSR_EAGER_EVAL into the calling process
+    (later predictor runs would silently use the eager path)."""
+    import os
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools import (
+        pred_pipeline_ab,
+    )
+
+    monkeypatch.delenv("EVSR_EAGER_EVAL", raising=False)
+    pred_pipeline_ab.main(
+        ["--device", "cpu", "--frames", "6", "--hr", "48",
+         "--feats", "6", "--margins", "1", "--rounds", "1"]
+    )
+    assert "EVSR_EAGER_EVAL" not in os.environ
