@@ -744,3 +744,44 @@ def test_multi_host_require_without_signal_raises(monkeypatch):
         distributed.initialize(require=True)
     # without the explicit request, no signal still means a graceful False
     assert distributed.initialize() is False
+
+
+@pytest.mark.parametrize(
+    "mesh_kwargs",
+    [{"spatial_parallel": 2}, {"model_parallel": 2}],
+    ids=["dp_sp", "dp_tp"],
+)
+def test_remat_net_composes_with_meshes(mesh_kwargs):
+    """Per-scan-step remat (net kwarg) under GSPMD: the rematerialized
+    backward must reproduce the plain net's sharded train step on every
+    supported 2-axis topology — remat changes the residual-saving policy,
+    never the collectives or the math."""
+    plain = RefineNet(**CFG)
+    remat = RefineNet(**CFG, remat=True)
+    batch = _batch(11)
+    params = plain.init(jax.random.PRNGKey(0), batch["lr_imgs"], batch["pos_code"])["params"]
+    tx = optax.sgd(1e-2)
+    mesh = make_mesh(8, **mesh_kwargs)
+
+    def make_step(model):
+        def loss(p, b):
+            p = gather_for_compute(mesh, p)
+            outs = model.apply({"params": p}, b["lr_imgs"], b["pos_code"])
+            return sum(jnp.mean(jnp.abs(o - b["hr_imgs"])) for o in outs)
+
+        def step(p, s, b):
+            val, grads = jax.value_and_grad(loss)(p, b)
+            updates, s = tx.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, val
+
+        return jax.jit(step)
+
+    p_sh = partition_tree(mesh, params)
+    s_sh = partition_tree(mesh, tx.init(params))
+    b_sh = shard_batch(mesh, batch)
+    p0, _, v0 = make_step(plain)(p_sh, s_sh, b_sh)
+    p1, _, v1 = make_step(remat)(p_sh, s_sh, b_sh)
+
+    assert float(v1) == pytest.approx(float(v0), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
