@@ -109,11 +109,6 @@ def load_config(path: str | Path) -> Cfg:
     return Cfg.from_yaml(filename=path)
 
 
-def save_config(cfg: Cfg, path: str | Path) -> None:
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    cfg.to_yaml(path)
-
-
 class Registry:
     """A name → class registry for config-driven instantiation.
 

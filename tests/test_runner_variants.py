@@ -854,3 +854,39 @@ def test_backend_fingerprint_keys_on_host_cpu():
     fp = json.loads(aot.backend_fingerprint())
     assert fp["platform"] == "cpu"  # conftest pins the cpu backend
     assert fp["host_cpu"] == h1
+
+
+def test_epoch_schedulers_match_torch():
+    """MultiStepLR / ExponentialLR / CosineAnnealingLR trace torch's own
+    schedulers epoch-by-epoch (StepLR and ReduceLROnPlateau are covered
+    above; this closes the remaining registered epoch schedulers)."""
+    import torch
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.optim import (
+        CosineAnnealingLR,
+        ExponentialLR,
+        MultiStepLR,
+    )
+
+    cases = [
+        (MultiStepLR(base_lr=1e-3, milestones=[3, 7, 8], gamma=0.5),
+         lambda opt: torch.optim.lr_scheduler.MultiStepLR(
+             opt, milestones=[3, 7, 8], gamma=0.5)),
+        (ExponentialLR(base_lr=1e-3, gamma=0.9),
+         lambda opt: torch.optim.lr_scheduler.ExponentialLR(opt, gamma=0.9)),
+        (CosineAnnealingLR(base_lr=1e-3, T_max=10),
+         lambda opt: torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=10)),
+        (CosineAnnealingLR(base_lr=1e-3, T_max=10, eta_min=1e-5),
+         lambda opt: torch.optim.lr_scheduler.CosineAnnealingLR(
+             opt, T_max=10, eta_min=1e-5)),
+    ]
+    for ours, make_theirs in cases:
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1e-3)
+        theirs = make_theirs(opt)
+        for epoch in range(12):
+            got = ours.step()
+            opt.step()
+            theirs.step()
+            want = opt.param_groups[0]["lr"]
+            assert got == pytest.approx(want, rel=1e-9), (type(ours).__name__, epoch)
