@@ -379,3 +379,24 @@ def test_window_matches_reference_slicing_semantics():
                         _window(start, end, v), reference(start, end, v),
                         err_msg=f"T={T} n={n} t={t} [{start},{end})",
                     )
+
+
+def test_random_crop_same_window_all_images():
+    """RandomCrop (reference transforms.py:171-227): one random window
+    applied identically to every input; errors on dim mismatch."""
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((16, 12, 1)).astype(np.float32)
+    b = rng.standard_normal((16, 12, 1)).astype(np.float32)
+    out_a, out_b = T.RandomCrop(size=[8, 6])(a, b, rng=np.random.default_rng(9))
+    assert out_a.shape == out_b.shape == (8, 6, 1)
+    # the same window: wherever out_a came from in a, out_b matches b there
+    found = False
+    for i in range(16 - 8 + 1):
+        for j in range(12 - 6 + 1):
+            if np.array_equal(a[i:i + 8, j:j + 6], out_a):
+                np.testing.assert_array_equal(b[i:i + 8, j:j + 6], out_b)
+                found = True
+    assert found
+
+    with pytest.raises(ValueError, match="dimensions of the cropped size"):
+        T.RandomCrop(size=[8])(a, rng=np.random.default_rng(0))
