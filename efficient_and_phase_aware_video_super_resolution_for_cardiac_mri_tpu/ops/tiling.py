@@ -1,0 +1,191 @@
+"""Fixed-shape tiled spatial inference (serving; no reference counterpart).
+
+Motivation (TPU/XLA): every jitted program is compiled per argument shape.
+Heterogeneous patient frame sizes (DSB15 external eval especially) therefore
+cost one multi-minute flagship compile EACH, and very large frames can
+exceed one chip's HBM.  ``t_bucket`` solves this for the time axis; this
+module solves it for the spatial axes: the network forward runs on
+fixed-size overlapping windows, so ANY (H, W) serves through ONE compiled
+executable with HBM bounded by the tile size — and the per-tile executable
+composes with the persistent AOT cache (``utils/aot.py``: one signature to
+store).
+
+Exactness contract (the reason this is a *windowing plan*, not naive
+chunking): every network in the zoo is fully convolutional in space —
+convs, pools, PixelShuffle, dynamic local filters, windowed/gathered warps
+with bounded displacement — so the SR value at an output pixel depends only
+on input pixels within the net's spatial receptive field.  Windows are
+CLAMPED to lie inside the image (never padded, except images smaller than
+the tile), and each window only *owns* output pixels at least ``overlap``
+input-pixels away from its window edges — unless that edge is the true
+image edge, where the window sees exactly what the untiled net sees.
+Hence: **overlap >= the net's receptive-field radius  =>  tiled == untiled**
+(to reduction-order ulps; asserted in tests/test_ops.py on EDSR and
+bicubic).  For recurrent nets (RefineNet/FRVSR/DRF) the spatial receptive
+field grows with sequence length — with warm-up margins U=6 and 3 conv
+layers per direction the radius is ~tens of pixels, so tiling is
+*approximate* at practical overlaps; the deviation is border-localized and
+measured in the tests.  Pick ``overlap`` per family accordingly (see
+docs/TPU_EXTENSIONS.md).
+
+Plan construction (``plan_1d``): n = ceil((size - 2*overlap) / core) windows
+(core = tile - 2*overlap) with starts evenly spaced over [0, size - tile];
+consecutive starts differ by at most ``core`` (proof sketch: the real
+spacing (size - tile)/(n-1) <= core by the choice of n, and linspace
+rounding preserves that bound), so the ownership boundary
+b_i = start_{i+1} + overlap always lies in the valid band
+[start_{i+1} + overlap, start_i + tile - overlap] — every owned pixel has
+the full halo on both sides except at the image edges.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = ["plan_1d", "plan_hw", "tiled_apply"]
+
+
+def plan_1d(size: int, tile: int, overlap: int) -> list[tuple[int, int, int]]:
+    """Window plan for one axis: a list of ``(start, abs_lo, abs_hi)`` where
+    ``[abs_lo, abs_hi)`` is the span of output positions (in input-pixel
+    coordinates) owned by the window ``[start, start + tile)``.
+
+    Spans partition ``[0, size)``; each is >= ``overlap`` away from its
+    window's edges except where the window edge is the image edge.
+    Requires ``size >= tile`` (callers pad smaller images — see
+    ``tiled_apply``) and ``tile > 2 * overlap``.
+    """
+    size, tile, overlap = int(size), int(tile), int(overlap)
+    core = tile - 2 * overlap
+    if core <= 0:
+        raise ValueError(
+            f"tile ({tile}) must exceed 2*overlap ({2 * overlap})"
+        )
+    if overlap < 0:
+        raise ValueError(f"overlap must be >= 0, got {overlap}")
+    if size < tile:
+        raise ValueError(f"size ({size}) smaller than tile ({tile})")
+    if size == tile:
+        return [(0, 0, size)]
+    n = max(2, math.ceil((size - 2 * overlap) / core))
+    starts = np.round(np.linspace(0, size - tile, n)).astype(int)
+    starts = sorted(set(int(s) for s in starts))  # drop rounding duplicates
+    bounds = []
+    lo = 0
+    for i, start in enumerate(starts):
+        if i + 1 < len(starts):
+            hi = starts[i + 1] + overlap
+            # the invariant the exactness proof rests on — never trust it
+            # silently (linspace rounding bounds are easy to get wrong)
+            assert lo >= start + overlap or start == 0
+            assert hi <= start + tile - overlap
+        else:
+            hi = size
+        bounds.append((start, lo, hi))
+        lo = hi
+    return bounds
+
+
+def plan_hw(h: int, w: int, tile_hw, overlap: int):
+    """Cartesian product of the two 1-D plans: a list of
+    ``((hs, h_lo, h_hi), (ws, w_lo, w_hi))`` window entries."""
+    th, tw = tile_hw
+    return [
+        (ph, pw)
+        for ph in plan_1d(h, th, overlap)
+        for pw in plan_1d(w, tw, overlap)
+    ]
+
+
+def _is_spatial(arr: np.ndarray) -> bool:
+    """Image/video batch arrays: (B, H, W, C) or (B, T, H, W, C) — the
+    channels-last contract shared with ``parallel.mesh.shard_batch``.
+    Rank-<4 arrays (positional codes (B, T, 1), scalars) pass through whole.
+    """
+    return arr.ndim >= 4
+
+
+def _pad_to_tile(arr: np.ndarray, tile_hw) -> np.ndarray:
+    """Edge-extend (bottom/right) images smaller than the tile — the one
+    case windows cannot clamp into.  Approximate within a receptive field
+    of the padded border (same tradeoff as ``pad_h``); callers crop the
+    output back to the true size."""
+    th, tw = tile_hw
+    pads = [(0, 0)] * arr.ndim
+    pads[arr.ndim - 3] = (0, max(0, th - arr.shape[-3]))
+    pads[arr.ndim - 2] = (0, max(0, tw - arr.shape[-2]))
+    if not any(p[1] for p in pads):
+        return arr
+    return np.pad(arr, pads, mode="edge")
+
+
+def tiled_apply(tile_fn, inputs, tile_hw, overlap: int):
+    """Run ``tile_fn`` (device fn: full-batch network forward returning ONE
+    HR array) over fixed-shape spatial windows of ``inputs`` and stitch the
+    owned output cores back together on the host.
+
+    - ``inputs``: the model's positional args (host arrays).  Args with
+      ndim >= 4 are windowed on axes (-3, -2) — all such args must share
+      one (H, W); lower-rank args pass through unchanged.
+    - ``tile_hw``: (th, tw) window size in INPUT pixels; every call to
+      ``tile_fn`` sees exactly this spatial shape, so a jitted ``tile_fn``
+      compiles once for any input size.
+    - ``overlap``: halo width in input pixels (see module docstring for the
+      exactness condition).
+
+    The upscale factor is inferred per axis from the first window's output
+    (must divide exactly).  All windows are dispatched before the first
+    fetch, so device execution pipelines across windows.  Returns the
+    assembled host array.
+    """
+    th, tw = int(tile_hw[0]), int(tile_hw[1])
+    arrays = [np.asarray(a) for a in inputs]
+    spatial = [i for i, a in enumerate(arrays) if _is_spatial(a)]
+    if not spatial:
+        raise ValueError("tiled_apply: no image-like (ndim>=4) input to tile")
+    h, w = arrays[spatial[0]].shape[-3:-1]
+    for i in spatial[1:]:
+        if arrays[i].shape[-3:-1] != (h, w):
+            raise ValueError(
+                "tiled_apply: all image-like inputs must share one (H, W); "
+                f"got {arrays[i].shape[-3:-1]} vs {(h, w)}"
+            )
+    true_hw = (h, w)
+    if h < th or w < tw:
+        arrays = [
+            _pad_to_tile(a, (th, tw)) if i in spatial else a
+            for i, a in enumerate(arrays)
+        ]
+        h, w = arrays[spatial[0]].shape[-3:-1]
+
+    plan = plan_hw(h, w, (th, tw), overlap)
+    outs = []
+    for (hs, _, _), (ws, _, _) in plan:
+        win_args = [
+            a[..., hs:hs + th, ws:ws + tw, :] if i in spatial else a
+            for i, a in enumerate(arrays)
+        ]
+        outs.append(tile_fn(*win_args))  # dispatch only; fetch below
+
+    first = np.asarray(outs[0])
+    oth, otw = first.shape[-3], first.shape[-2]
+    if oth % th or otw % tw:
+        raise ValueError(
+            f"tiled_apply: window output spatial {oth}x{otw} is not an "
+            f"integer multiple of the tile {th}x{tw}"
+        )
+    rh, rw = oth // th, otw // tw
+    out_shape = first.shape[:-3] + (h * rh, w * rw, first.shape[-1])
+    out = np.empty(out_shape, first.dtype)
+    for ((hs, h_lo, h_hi), (ws, w_lo, w_hi)), win in zip(plan, outs):
+        win = np.asarray(win)
+        out[..., h_lo * rh:h_hi * rh, w_lo * rw:w_hi * rw, :] = win[
+            ...,
+            (h_lo - hs) * rh:(h_hi - hs) * rh,
+            (w_lo - ws) * rw:(w_hi - ws) * rw,
+            :,
+        ]
+    if true_hw != (h, w):
+        out = out[..., : true_hw[0] * rh, : true_hw[1] * rw, :]
+    return out

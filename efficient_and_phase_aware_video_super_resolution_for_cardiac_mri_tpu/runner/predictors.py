@@ -75,8 +75,44 @@ class BasePredictor:
         pad_h: bool = False,
         aot_cache: str | None = None,
         export_nifti: bool = False,
+        tile=None,
+        tile_overlap: int | None = None,
     ):
         self.device = device
+        # TPU extension (``ops/tiling.py``): run the network forward on
+        # fixed-shape overlapping spatial windows — ANY (H, W) then serves
+        # through ONE compiled executable (DSB15's heterogeneous frame sizes
+        # otherwise cost a flagship compile EACH) with HBM bounded by the
+        # tile.  Exact when ``tile_overlap`` >= the net's receptive-field
+        # radius (docs/TPU_EXTENSIONS.md has per-family guidance); the
+        # overlap is mandatory with ``tile`` because no safe net-independent
+        # default exists.  Losses/metrics run on the assembled full frame
+        # (their small graphs still compile per shape — the multi-minute NET
+        # compile is the one made shape-invariant).  Single-device serving
+        # strategy: combine with neither a mesh nor ``pad_h``.
+        if tile is not None:
+            hw = (tile, tile) if np.ndim(tile) == 0 else tuple(int(t) for t in tile)
+            if len(hw) != 2:
+                raise ValueError(f"tile must be an int or (th, tw), got {tile!r}")
+            if tile_overlap is None:
+                raise ValueError(
+                    "tile requires tile_overlap (>= the net's receptive-field "
+                    "radius in LR pixels — see docs/TPU_EXTENSIONS.md)"
+                )
+            if min(hw) <= 2 * int(tile_overlap):
+                raise ValueError(
+                    f"tile {hw} must exceed 2*tile_overlap ({2 * int(tile_overlap)})"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "tile is a single-device serving strategy; unset parallel/mesh "
+                    "(scale tiled serving by devices via tools/batch_infer)"
+                )
+            if pad_h:
+                raise ValueError("tile replaces pad_h; enable only one")
+            self._tile, self._tile_overlap = (int(hw[0]), int(hw[1])), int(tile_overlap)
+        else:
+            self._tile = self._tile_overlap = None
         # TPU extension (no reference counterpart): pad variable-length
         # sequences up to multiples of t_bucket so XLA compiles one executable
         # per bucket instead of one per distinct patient T (SURVEY §7
@@ -195,6 +231,25 @@ class BasePredictor:
         cdtype = self.compute_dtype
         mesh = self.mesh
 
+        def score_tail(out, batch, masks, out_h):
+            """losses + metrics + display denorm from the (assembled) SR
+            output — shared by the plain step and the tiled path."""
+            target = self._targets(batch)
+            if out_h is not None:
+                # pad_h: drop the edge-extended rows BEFORE losses/metrics —
+                # the padded target rows crop back to exactly the original
+                out = out[..., :out_h, :, :]
+                target = target[..., :out_h, :, :]
+            losses = self._frame_losses(out, target)  # (T, n_loss) or (1, n_loss)
+            total = jnp.sum(jnp.mean(losses, axis=0) * weights)
+            out_d, tgt_d = self._denorm(out), self._denorm(target)
+            metrics = self._frame_metrics(out_d, tgt_d, masks)  # (T, n_metric)
+            return total, losses, metrics, out_d
+
+        if self._tile is not None:
+            self._step = self._build_tiled_step(score_tail)
+            return
+
         @partial(jax.jit, static_argnums=(4,))
         def step(params, state, batch, masks, out_h):
             # ZeRO-3 gather on model-axis meshes (no-op otherwise)
@@ -210,18 +265,7 @@ class BasePredictor:
             )
             if cdtype is not None:
                 outputs = cast_floating(outputs, jnp.float32)
-            out = self._select_output(outputs)
-            target = self._targets(batch)
-            if out_h is not None:
-                # pad_h: drop the edge-extended rows BEFORE losses/metrics —
-                # the padded target rows crop back to exactly the original
-                out = out[..., :out_h, :, :]
-                target = target[..., :out_h, :, :]
-            losses = self._frame_losses(out, target)  # (T, n_loss) or (1, n_loss)
-            total = jnp.sum(jnp.mean(losses, axis=0) * weights)
-            out_d, tgt_d = self._denorm(out), self._denorm(target)
-            metrics = self._frame_metrics(out_d, tgt_d, masks)  # (T, n_metric)
-            return total, losses, metrics, out_d
+            return score_tail(self._select_output(outputs), batch, masks, out_h)
 
         if self.aot_cache:
             from ..utils import aot
@@ -233,6 +277,51 @@ class BasePredictor:
             )
 
         self._step = step
+
+    def _build_tiled_step(self, score_tail):
+        """The ``tile`` path: one shape-invariant jitted executable for the
+        network forward (fixed-size windows via ``ops/tiling.tiled_apply``),
+        plus a small per-shape jitted scorer over the assembled frame.  The
+        batch stays on HOST (windows are numpy slices, device_put per
+        window); the window dispatches pipeline on the device queue before
+        the first fetch."""
+        from ..ops.tiling import tiled_apply
+
+        apply_fn = self.net.apply
+        kwargs = {"train": False} if self._accepts_train else {}
+        cdtype = self.compute_dtype
+        tile_hw, overlap = self._tile, self._tile_overlap
+
+        @jax.jit
+        def tile_fwd(params, state, *inputs):
+            if cdtype is not None:
+                params = cast_floating(params, cdtype)
+                state = cast_floating(state, cdtype)
+                inputs = cast_floating(inputs, cdtype)
+            outputs = apply_fn({"params": params, **state}, *inputs, **kwargs)
+            out = self._select_output(outputs)
+            return cast_floating(out, jnp.float32) if cdtype is not None else out
+
+        if self.aot_cache:
+            from ..utils import aot
+
+            # ONE signature to store — the synergy the tile knob exists for
+            tile_fwd = aot.cached_dispatch(
+                tile_fwd, self.aot_cache, f"{type(self).__name__}_tile"
+            )
+
+        score = partial(jax.jit, static_argnums=(3,))(score_tail)
+
+        def step(params, state, batch, masks, out_h):
+            out = tiled_apply(
+                lambda *a: tile_fwd(params, state, *a),
+                self._model_inputs(batch),
+                tile_hw,
+                overlap,
+            )
+            return score(out, batch, masks, out_h)
+
+        return step
 
     def _frame_losses(self, out, target):
         cols = [fn(out, target) for fn in self.loss_fns]
@@ -325,7 +414,8 @@ class BasePredictor:
             true_shape = np.asarray(self._targets(batch)).shape
             masks = self._metric_masks(patient, true_shape[-3:-1])
             batch, out_h = self._pad_spatial(batch)
-            device_batch = shard_batch(self.mesh, batch)
+            # the tile path windows the HOST batch (numpy slices) itself
+            device_batch = batch if self._tile else shard_batch(self.mesh, batch)
             total, losses, metrics, out_d = self._step(
                 self.params, self.model_state, device_batch, masks, out_h
             )

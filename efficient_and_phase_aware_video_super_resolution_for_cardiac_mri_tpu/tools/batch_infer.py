@@ -95,7 +95,25 @@ def main(argv=None):
         help="persist compiled executables to DIR (utils/aot.py) so a serving "
         "restart skips the multi-minute flagship compile",
     )
+    parser.add_argument(
+        "--tile", type=int, default=None, metavar="T",
+        help="run the net forward on fixed TxT LR windows (ops/tiling.py): "
+        "every (H, W) in the split then shares ONE net executable (no "
+        "per-shape-group flagship recompiles) with HBM bounded by the tile; "
+        "requires --tile-overlap; excludes --spatial-parallel/--pad-h",
+    )
+    parser.add_argument(
+        "--tile-overlap", type=int, default=None, metavar="N",
+        help="halo width in LR pixels (>= the net's receptive-field radius "
+        "for exactness — docs/TPU_EXTENSIONS.md)",
+    )
     args = parser.parse_args(argv)
+    if args.tile is not None:
+        if args.tile_overlap is None:
+            parser.error("--tile requires --tile-overlap")
+        if args.spatial_parallel > 1 or args.pad_h:
+            parser.error("--tile excludes --spatial-parallel/--pad-h "
+                         "(pick one spatial strategy)")
 
     import jax
 
@@ -145,6 +163,44 @@ def main(argv=None):
             forward_scores, args.aot_cache, "batch_infer", static_argnums=(4,)
         )
 
+    # --tile: the NET forward runs on fixed-shape windows (one executable for
+    # every shape group; the batch axis still shards over the data mesh via
+    # shard_batch inside the per-window fn).  The SR volume is assembled on
+    # host — inherent to cross-window stitching — so scores run in a second,
+    # per-shape jitted fn; those graphs are seconds to compile vs the
+    # multi-minute flagship forward the tile makes shape-invariant.
+    if args.tile is not None:
+        from ..ops.tiling import tiled_apply
+
+        @jax.jit
+        def tile_fwd(v, lr, pos):
+            return model.apply(v, lr, pos)[-1]
+
+        @jax.jit
+        def score_only(out, hr):
+            out_d = denormalize(out, "acdc")
+            hr_d = denormalize(hr, "acdc")
+            flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+            return psnr(flat(out_d), flat(hr_d)), ssim(flat(out_d), flat(hr_d))
+
+        if args.aot_cache:
+            from ..utils import aot
+
+            tile_fwd = aot.cached_dispatch(
+                tile_fwd, args.aot_cache, "batch_infer_tile"
+            )
+
+        def tiled_scores(variables, lr, pos, hr):
+            def window(lr_w, pos_w):
+                b = shard_batch(mesh, {"lr": lr_w, "pos": pos_w})
+                return tile_fwd(variables, b["lr"], b["pos"])
+
+            out = tiled_apply(
+                window, (lr, pos), (args.tile, args.tile), args.tile_overlap
+            )
+            b = shard_batch(mesh, {"sr_imgs": out, "hr_imgs": hr})
+            return score_only(b["sr_imgs"], b["hr_imgs"])
+
     rows = [["name", "frame", "PSNR", "SSIM"]]
     frames = 0
 
@@ -175,12 +231,15 @@ def main(argv=None):
             pos = np.stack([it["pos_code"] for it in items] + [items[-1]["pos_code"]] * pad)
             hr = np.stack([it["hr_imgs"] for it in items] + [items[-1]["hr_imgs"]] * pad)
             true_hr_h = hr.shape[-3]
-            if args.pad_h and args.spatial_parallel > 1:
-                lr = pad_height_to_multiple(lr, args.spatial_parallel)
-            batch = shard_batch(mesh, {"lr": lr, "pos": pos, "hr": hr})
-            scores = forward_scores(
-                variables, batch["lr"], batch["pos"], batch["hr"], true_hr_h
-            )
+            if args.tile is not None:
+                scores = tiled_scores(variables, lr, pos, hr)
+            else:
+                if args.pad_h and args.spatial_parallel > 1:
+                    lr = pad_height_to_multiple(lr, args.spatial_parallel)
+                batch = shard_batch(mesh, {"lr": lr, "pos": pos, "hr": hr})
+                scores = forward_scores(
+                    variables, batch["lr"], batch["pos"], batch["hr"], true_hr_h
+                )
             pipe.push((scores, chunk, hr.shape[1]))
     pipe.drain()
     elapsed = max(time.perf_counter() - t0, 1e-9)

@@ -247,3 +247,45 @@ def test_batch_infer_pad_h_shards_indivisible_heights(tmp_path):
     assert padded["devices"] == 4
     assert padded["frames"] == base["frames"]
     assert padded["mean_psnr"] == pytest.approx(base["mean_psnr"], abs=0.2)
+
+
+def test_batch_infer_tiled_serving(tmp_path):
+    """--tile runs the net on fixed LR windows: scores stay close to the
+    untiled run (RefineNet is recurrent, so tiling is approximate — border-
+    localized; ops/tiling.py docstring) with identical row protocol."""
+    import json
+
+    import torch
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools import (
+        batch_infer,
+    )
+
+    tree = make_acdc_tree(tmp_path / "acdc", frames=8, hr_size=(64, 64),
+                          patients_per_split=1, slices=2)
+    net_kwargs = dict(
+        in_channels=1, out_channels=1, num_features=[6, 6], upscale_factor=4,
+        num_stages=1, update_memory=True, num_updated_frames=2,
+        refine_window_size=5, positional_encoding=True,
+    )
+    torch.manual_seed(3)
+    rn = load_reference_refine_net()
+    ref = rn.RefineNet(**net_kwargs)
+    ckpt = tmp_path / "model.pth"
+    torch.save({"net": ref.state_dict()}, ckpt)
+
+    base = batch_infer.main(
+        [str(ckpt), str(tree["videos_dir"]), str(tree["pos_code_path"]),
+         str(tmp_path / "base.csv"), "--num-devices", "8",
+         "--net-kwargs", json.dumps(net_kwargs)]
+    )
+    tiled = batch_infer.main(
+        [str(ckpt), str(tree["videos_dir"]), str(tree["pos_code_path"]),
+         str(tmp_path / "tiled.csv"), "--num-devices", "8",
+         "--tile", "12", "--tile-overlap", "4",
+         "--net-kwargs", json.dumps(net_kwargs)]
+    )
+    assert tiled["frames"] == base["frames"]
+    assert tiled["mean_psnr"] == pytest.approx(base["mean_psnr"], abs=0.5)
+    with open(tmp_path / "tiled.csv") as f_t, open(tmp_path / "base.csv") as f_b:
+        assert sum(1 for _ in f_t) == sum(1 for _ in f_b)

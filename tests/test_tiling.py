@@ -1,0 +1,305 @@
+"""Fixed-shape tiled spatial inference (``ops/tiling.py``).
+
+The contract under test: window plans partition the output with full halos
+(except at true image edges), so for a fully convolutional net with
+receptive-field radius <= overlap the tiled forward equals the untiled one;
+and every window has the SAME shape, so a jitted tile function compiles
+exactly once across arbitrary input sizes.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.ops.tiling import (
+    plan_1d,
+    tiled_apply,
+)
+
+
+@pytest.mark.parametrize("size", [24, 25, 31, 32, 40, 57, 63, 64, 100, 241])
+@pytest.mark.parametrize("tile,overlap", [(24, 4), (24, 8), (32, 8), (24, 11)])
+def test_plan_1d_partitions_with_full_halos(size, tile, overlap):
+    if size < tile:
+        with pytest.raises(ValueError):
+            plan_1d(size, tile, overlap)
+        return
+    plan = plan_1d(size, tile, overlap)
+    lo_prev = 0
+    for start, lo, hi in plan:
+        assert 0 <= start <= size - tile  # clamped window
+        assert lo == lo_prev and hi > lo  # spans partition [0, size)
+        # full halo on each side of the owned span unless the window edge
+        # IS the image edge (where the untiled net sees the same border)
+        assert lo - start >= overlap or start == 0
+        assert (start + tile) - hi >= overlap or start + tile == size
+        lo_prev = hi
+    assert lo_prev == size
+
+
+def test_plan_1d_rejects_degenerate_tiles():
+    with pytest.raises(ValueError):
+        plan_1d(64, 16, 8)  # core would be 0
+    with pytest.raises(ValueError):
+        plan_1d(64, 16, -1)
+
+
+def _conv_net(radius: int, upscale: int):
+    """A toy strictly-convolutional SR net with KNOWN receptive-field radius:
+    ``radius`` 3x3 valid-padding-free (SAME) convs + depth-to-space."""
+    from flax import linen as nn
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for _ in range(radius):
+                x = nn.Conv(8, (3, 3), padding="SAME")(x)
+                x = nn.relu(x)
+            x = nn.Conv(upscale * upscale, (3, 3), padding="SAME")(x)
+            b, h, w, c = x.shape
+            x = x.reshape(b, h, w, upscale, upscale, 1)
+            x = x.transpose(0, 1, 3, 2, 4, 5)
+            return x.reshape(b, h * upscale, w * upscale, 1)
+
+    return Net()
+
+
+@pytest.mark.parametrize("hw", [(40, 56), (37, 53), (24, 24)])
+def test_tiled_apply_exact_when_overlap_covers_rf(hw):
+    # RF radius = one pixel per SAME 3x3 conv (the final HR-space reshape
+    # adds none): 6 convs -> radius 6 <= overlap 8 => exact.
+    net = _conv_net(radius=5, upscale=2)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, *hw, 1)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    fwd = jax.jit(lambda a: net.apply(params, a))
+    want = np.asarray(fwd(jnp.asarray(x)))
+    got = tiled_apply(fwd, (x,), (24, 24), overlap=8)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_tiled_apply_one_executable_across_sizes():
+    net = _conv_net(radius=2, upscale=2)
+    x0 = np.random.default_rng(1).standard_normal((1, 40, 40, 1)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x0[:, :24, :24]))
+    shapes = set()
+
+    @jax.jit
+    def fwd(a):
+        return net.apply(params, a)
+
+    def spy(a):
+        shapes.add(tuple(a.shape))
+        return fwd(a)
+
+    for hw in [(40, 40), (57, 33), (24, 31), (100, 64)]:
+        x = np.random.default_rng(2).standard_normal((1, *hw, 1)).astype(np.float32)
+        out = tiled_apply(spy, (x,), (24, 24), overlap=4)
+        assert out.shape == (1, hw[0] * 2, hw[1] * 2, 1)
+    assert shapes == {(1, 24, 24, 1)}  # every window identical ->
+    assert fwd._cache_size() == 1      # ONE compiled executable for all sizes
+
+
+def test_tiled_apply_video_rank5_and_passthrough_args():
+    """(B, T, H, W, C) inputs window on (-3, -2); rank-3 aux args (positional
+    codes) pass through whole — the RefineNet-style signature."""
+    from flax import linen as nn
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, pos):
+            b, t, h, w, c = x.shape
+            y = nn.Conv(4, (3, 3), padding="SAME")(x.reshape(b * t, h, w, c))
+            y = nn.Conv(1, (3, 3), padding="SAME")(y).reshape(b, t, h, w, 1)
+            return y + pos[:, :, None, None, :]
+
+    net = Net()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 3, 30, 41, 1)).astype(np.float32)
+    pos = rng.standard_normal((1, 3, 1)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(pos))
+    fwd = jax.jit(lambda a, p: net.apply(params, a, p))
+    want = np.asarray(fwd(jnp.asarray(x), jnp.asarray(pos)))
+    got = tiled_apply(fwd, (x, pos), (16, 16), overlap=3)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_tiled_apply_pads_images_smaller_than_tile():
+    """Sub-tile images edge-pad up to one window and crop back — shape is
+    preserved and interior values (>= RF from the padded border) are exact."""
+    net = _conv_net(radius=2, upscale=2)
+    x = np.random.default_rng(4).standard_normal((1, 20, 14, 1)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    fwd = jax.jit(lambda a: net.apply(params, a))
+    want = np.asarray(fwd(jnp.asarray(x)))
+    got = tiled_apply(fwd, (x,), (24, 24), overlap=4)
+    assert got.shape == want.shape
+    # interior: the padded border perturbs only within RF (3 convs) of the
+    # bottom/right edges, in HR coordinates
+    np.testing.assert_allclose(
+        got[:, : (20 - 3) * 2, : (14 - 3) * 2], want[:, : (20 - 3) * 2, : (14 - 3) * 2],
+        atol=2e-5, rtol=1e-5,
+    )
+
+
+def test_tiled_apply_rejects_mismatched_spatial_inputs():
+    fwd = lambda a, b: a  # noqa: E731 — never reached
+    x = np.zeros((1, 32, 32, 1), np.float32)
+    y = np.zeros((1, 32, 30, 1), np.float32)
+    with pytest.raises(ValueError, match="share one"):
+        tiled_apply(fwd, (x, y), (24, 24), overlap=4)
+
+
+def test_tiled_apply_zoo_edsr_exact():
+    """A real zoo net: EDSR (head conv + 2 resblocks + tail) has LR-space
+    receptive-field radius ~7; overlap 10 makes the tiled forward equal the
+    untiled one to reduction-order ulps."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+        EDSRNet,
+    )
+
+    net = EDSRNet(
+        in_channels=1, out_channels=1, num_resblocks=2, num_features=8,
+        upscale_factor=4, res_scale=1.0,
+    )
+    x = np.random.default_rng(5).standard_normal((1, 45, 38, 1)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x[:, :32, :32]))
+    fwd = jax.jit(lambda a: net.apply(params, a))
+    want = np.asarray(fwd(jnp.asarray(x)))
+    got = tiled_apply(fwd, (x,), (32, 32), overlap=10)
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+
+# --------------------------------------------------------------- predictors
+
+def _predictor(kind, tree, net, saved_dir, ds_kwargs=None, **pred_kwargs):
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import (
+        losses as L,
+        metrics as ME,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.data.datasets import (
+        DATASETS,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.data.loader import (
+        Dataloader,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.predictors import (
+        PREDICTORS,
+    )
+
+    norm = [
+        {"name": "Normalize", "kwargs": {"means": [54.089], "stds": [48.084]}},
+        {"name": "ToTensor"},
+    ]
+    if kind == "sisr":
+        ds = DATASETS.get("AcdcSISRDataset")(
+            data_dir=str(tree["imgs_dir"]), type="test", downscale_factor=4,
+            transforms=norm,
+        )
+        name = "AcdcSISRPredictor"
+    else:
+        ds = DATASETS.get("AcdcVSRRefineNetDataset")(
+            data_dir=str(tree["videos_dir"]), type="test", downscale_factor=4,
+            pos_code_path=str(tree["pos_code_path"]), transforms=norm,
+            num_updated_frames=2, **(ds_kwargs or {}),
+        )
+        name = "AcdcVSRRefineNetPredictor"
+    loader = Dataloader(ds, batch_size=1, shuffle=False, num_workers=0)
+    pred = PREDICTORS.get(name)(
+        device="cpu", net=net, test_dataloader=loader,
+        loss_fns=[L.LOSSES.get("L1Loss")()], loss_weights=[1.0],
+        metric_fns=[ME.METRICS.get("PSNR")(), ME.METRICS.get("SSIM")()],
+        saved_dir=str(saved_dir), exported=True, **pred_kwargs,
+    )
+    batch = {
+        k: (np.asarray(v)[None] if hasattr(v, "ndim") else [v])
+        for k, v in ds[0].items()
+    }
+    pred.init_params_like(batch)
+    return pred
+
+
+def test_predictor_tile_exact_for_conv_net(tmp_path):
+    """SISR/EDSR end-to-end: receptive-field radius ~6 (1 resblock), overlap
+    6 => the tiled predictor's scores equal the untiled ones."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures import make_acdc_tree
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+        EDSRNet,
+    )
+
+    tree = make_acdc_tree(
+        tmp_path / "acdc", hr_size=(96, 96), frames=3,
+        patients_per_split=1, slices=1,
+    )
+    net = EDSRNet(
+        in_channels=1, out_channels=1, num_resblocks=1, num_features=6,
+        upscale_factor=4, res_scale=1.0,
+    )
+    exact = _predictor("sisr", tree, net, tmp_path / "exact")
+    log_exact = exact.predict()
+
+    tiled = _predictor(
+        "sisr", tree, net, tmp_path / "tiled", tile=16, tile_overlap=6
+    )
+    tiled.params = exact.params  # identical weights
+    log_tiled = tiled.predict()
+
+    assert abs(log_tiled["PSNR"] - log_exact["PSNR"]) < 1e-3, (log_tiled, log_exact)
+    assert abs(log_tiled["Loss"] - log_exact["Loss"]) < 1e-6
+    rows = lambda d: sum(1 for _ in open(d / "results.csv"))  # noqa: E731
+    assert rows(tmp_path / "tiled") == rows(tmp_path / "exact")
+
+
+def test_predictor_tile_close_for_recurrent_net(tmp_path):
+    """VSRRefineNet (recurrent — spatial RF grows with T, so tiling is
+    approximate): scores stay close and the export protocol is unchanged."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures import make_acdc_tree
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+        RefineNet,
+    )
+
+    tree = make_acdc_tree(
+        tmp_path / "acdc", hr_size=(96, 96), frames=6,
+        patients_per_split=1, slices=1,
+    )
+    net = RefineNet(
+        in_channels=1, out_channels=1, num_features=[6, 6], upscale_factor=4,
+        num_stages=2, update_memory=True, num_updated_frames=2,
+        refine_window_size=5, positional_encoding=True,
+    )
+    exact = _predictor("vsr", tree, net, tmp_path / "exact")
+    log_exact = exact.predict()
+
+    tiled = _predictor(
+        "vsr", tree, net, tmp_path / "tiled", tile=16, tile_overlap=5
+    )
+    tiled.params = exact.params
+    log_tiled = tiled.predict()
+
+    assert np.isfinite(log_tiled["Loss"])
+    assert abs(log_tiled["PSNR"] - log_exact["PSNR"]) < 0.5, (log_tiled, log_exact)
+    rows = lambda d: sum(1 for _ in open(d / "results.csv"))  # noqa: E731
+    assert rows(tmp_path / "tiled") == rows(tmp_path / "exact")
+
+
+def test_predictor_tile_validation():
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.predictors import (
+        SISRPredictor,
+    )
+
+    with pytest.raises(ValueError, match="tile_overlap"):
+        SISRPredictor(tile=24)
+    with pytest.raises(ValueError, match="exceed"):
+        SISRPredictor(tile=16, tile_overlap=8)
+    with pytest.raises(ValueError, match="pad_h"):
+        SISRPredictor(tile=24, tile_overlap=4, pad_h=True)
+    with pytest.raises(ValueError, match="single-device"):
+        SISRPredictor(tile=24, tile_overlap=4, mesh=object())
