@@ -28,6 +28,14 @@ layers per direction the radius is ~tens of pixels, so tiling is
 measured in the tests.  Pick ``overlap`` per family accordingly (see
 docs/TPU_EXTENSIONS.md).
 
+One more exactness caveat: ops whose coordinate mapping depends on the
+TOTAL frame size are not translation-covariant, so no overlap makes them
+exact under tiling.  In this zoo that is the ``align_corners=True`` resize
+convention (scale = (size-1)/(size*r-1)): the Bicubic net and TOFlow's
+bicubic pre-upscale.  Measured deviation is ~0.01 dB at toy shapes
+(tests); the half-pixel (cv2) convention and everything made of convs are
+translation-covariant and unaffected.
+
 Plan construction (``plan_1d``): n = ceil((size - 2*overlap) / core) windows
 (core = tile - 2*overlap) with starts evenly spaced over [0, size - tile];
 consecutive starts differ by at most ``core`` (proof sketch: the real

@@ -302,6 +302,10 @@ class BasePredictor:
             out = self._select_output(outputs)
             return cast_floating(out, jnp.float32) if cdtype is not None else out
 
+        # exposed for tests: the one-executable-for-any-(H, W) contract is
+        # observable as _tile_fwd._cache_size() == 1 after mixed-shape serving
+        self._tile_fwd = tile_fwd
+
         if self.aot_cache:
             from ..utils import aot
 

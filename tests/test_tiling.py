@@ -303,3 +303,69 @@ def test_predictor_tile_validation():
         SISRPredictor(tile=24, tile_overlap=4, pad_h=True)
     with pytest.raises(ValueError, match="single-device"):
         SISRPredictor(tile=24, tile_overlap=4, mesh=object())
+
+
+def test_predictor_tile_one_executable_across_patient_shapes(tmp_path):
+    """The motivating case: patients with DIFFERENT (H, W) (DSB15-style) all
+    serve through ONE compiled net executable.  Scores are CLOSE but not
+    exact: the Bicubic net's align_corners=True mapping scales coordinates
+    by (size-1)/(size*r-1) — a function of the TOTAL frame size — so it is
+    not translation-covariant and tiling is inherently approximate for
+    global-resize nets (documented in ops/tiling.py)."""
+    from pathlib import Path
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import (
+        losses as L,
+        metrics as ME,
+        models,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.data.loader import (
+        Dataloader,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.predictors import (
+        VSRPredictor,
+    )
+
+    rng = np.random.default_rng(7)
+    shapes = [(16, 16), (16, 24), (24, 16)]
+    items = []
+    for i, (h, w) in enumerate(shapes):
+        lr = rng.uniform(-1, 1, (4, h, w, 1)).astype(np.float32)
+        hr = rng.uniform(-1, 1, (4, h * 4, w * 4, 1)).astype(np.float32)
+        items.append({"lr_imgs": lr, "hr_imgs": hr, "index": i})
+
+    class _Ds:
+        def __init__(self):
+            self.data = [
+                (Path(f"patient{i:03d}_2d_sequence01.nii.gz"), None)
+                for i in range(len(items))
+            ]
+
+        def __len__(self):
+            return len(items)
+
+        def __getitem__(self, i):
+            return items[i]
+
+    def make_pred(**kw):
+        pred = VSRPredictor(
+            device="cpu",
+            test_dataloader=Dataloader(_Ds(), batch_size=1, shuffle=False),
+            net=models.Bicubic(upscale_factor=4),
+            loss_fns=[L.LOSSES.get("L1Loss")()],
+            metric_fns=[ME.METRICS.get("PSNR")()],
+            **kw,
+        )
+        batch = {k: (np.asarray(v)[None] if hasattr(v, "ndim") else [v])
+                 for k, v in items[0].items()}
+        pred.init_params_like(batch)
+        return pred
+
+    log_exact = make_pred().predict()
+    tiled = make_pred(tile=12, tile_overlap=3)
+    log_tiled = tiled.predict()
+    assert log_tiled["PSNR"] == pytest.approx(log_exact["PSNR"], abs=0.05)
+    assert log_tiled["Loss"] == pytest.approx(log_exact["Loss"], rel=0.01)
+    assert tiled._tile_fwd._cache_size() == 1, (
+        "three patient shapes must share one compiled net executable"
+    )
