@@ -15,7 +15,12 @@ variance through the tunnel is ±20%, so cross-process comparisons lie):
 Each row reports median wall time and achieved TFLOP/s.  Usage:
 
     python -m <pkg>.tools.perf_probe [--probes conv_chain,lstm,...] [--bf16]
-        [--t 42] [--hw 64] [--iters 8]
+        [--t 42] [--hw 64] [--iters 8] [--device cuda:0]
+
+``--device cpu`` pins the CPU backend BEFORE jax initializes (the
+JAX_PLATFORMS env var is ignored under the axon sitecustomize, and default
+backend init hangs forever when the TPU tunnel is down) — for smoke-driving
+probes off-chip; numbers are only meaningful on the chip.
 """
 from __future__ import annotations
 
@@ -894,6 +899,99 @@ def probe_zoo_serving(T, HW, dtype, iters, n_pipeline=16):
     return out
 
 
+def probe_tile_serving(T, HW, dtype, iters, tile=None, overlap=None,
+                       sizes=None, feats=None, stages=None, margins=6):
+    """Fixed-shape tiled serving (ops/tiling.py) vs whole-frame serving on
+    the flagship, across heterogeneous frame sizes.
+
+    Reports the REAL tradeoff: the tiled path compiles ONE executable for
+    every size (vs one multi-minute compile per size) and bounds HBM by the
+    tile, at the cost of halo recompute — upper-bounded by
+    (tile/(tile-2*overlap))^2 per axis-pair, so bigger tiles amortize
+    better.  Timings include the host-side window slicing + assembly (the
+    honest end-to-end serving cost); compile seconds are wall-clock
+    observed."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import RefineNet
+    from ..ops.tiling import tiled_apply
+
+    # defaults track --hw so the probe scales from a CPU smoke (hw 16: tiny
+    # net, fast compiles) to the protocol shapes (hw >= 32: FLAGSHIP net,
+    # tile 64 / overlap 8 / sizes 64/80/96 at hw 64).  The per-size whole-
+    # frame compile time is part of the measurement — through the tunnel
+    # each flagship compile is 5-10 min, which is exactly the cost the tile
+    # path's single executable avoids.
+    tile = tile or HW
+    overlap = overlap or max(2, HW // 8)
+    sizes = sizes or (HW, HW + HW // 4, HW + HW // 2)
+    if feats is None:
+        feats = (64, 64, 64) if HW >= 32 else (6, 6)
+    if stages is None:
+        stages = 3 if HW >= 32 else 1
+    # valid protocols have T = core + 2*margins with core >= 1 (bench.py:
+    # 30 + 2*6); clamp so a short --t smoke stays a legal sequence
+    margins = min(margins, (T - 1) // 2)
+    cfg = dict(
+        in_channels=1, out_channels=1, num_features=list(feats),
+        upscale_factor=4, num_stages=stages, update_memory=True,
+        num_updated_frames=margins, refine_window_size=5,
+        positional_encoding=True,
+    )
+    model = RefineNet(**cfg)
+    rng = np.random.default_rng(0)
+    pos = np.asarray(rng.standard_normal((1, T, 1)), np.float32)
+    x0 = jnp.asarray(rng.standard_normal((1, T, tile, tile, 1)), dtype)
+    variables = jax.tree.map(
+        lambda a: a.astype(dtype),
+        jax.jit(model.init)(jax.random.PRNGKey(0), x0, jnp.asarray(pos, dtype)),
+    )
+    f = jax.jit(lambda v, a, p: model.apply(v, a, p)[-1])
+
+    out = {"tile": tile, "overlap": overlap}
+    t0 = time.perf_counter()
+    float(jnp.sum(f(variables, x0, jnp.asarray(pos, dtype))))  # ONE compile
+    out["tiled_compile_sec"] = round(time.perf_counter() - t0, 1)
+
+    def tiled_once(x):
+        return tiled_apply(
+            lambda a, p: f(variables, jnp.asarray(a, dtype), jnp.asarray(p, dtype)),
+            (x, pos), (tile, tile), overlap,
+        )
+
+    whole_compile = 0.0
+    for hw in sizes:
+        x = np.asarray(rng.standard_normal((1, T, hw, hw, 1)), np.float32)
+        tiled_once(x)  # warm the host path (executable already compiled)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            tiled_once(x)
+            times.append(time.perf_counter() - t0)
+        row = {"tiled_ms_per_clip": round(float(np.median(times)) * 1e3, 2)}
+
+        xd = jnp.asarray(x, dtype)
+        pd = jnp.asarray(pos, dtype)
+        t0 = time.perf_counter()
+        float(jnp.sum(f(variables, xd, pd)))  # per-size compile
+        row["whole_compile_sec"] = round(time.perf_counter() - t0, 1)
+        whole_compile += row["whole_compile_sec"]
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(jnp.sum(f(variables, xd, pd)))
+            times.append(time.perf_counter() - t0)
+        row["whole_ms_per_clip"] = round(float(np.median(times)) * 1e3, 2)
+        row["tiled_overhead"] = round(
+            row["tiled_ms_per_clip"] / row["whole_ms_per_clip"], 2
+        )
+        out[f"hw{hw}"] = row
+    out["sec"] = out[f"hw{sizes[0]}"]["tiled_ms_per_clip"] / 1e3
+    out["whole_compile_sec_total"] = round(whole_compile, 1)
+    return out
+
+
 def probe_full(T, HW, dtype, iters):
     import jax
     import jax.numpy as jnp
@@ -937,6 +1035,7 @@ PROBES = {
     "toflow_full": probe_toflow_full,
     "frvsr_full": probe_frvsr_full,
     "zoo_serving": probe_zoo_serving,
+    "tile_serving": probe_tile_serving,
     "full": probe_full,
 }
 
@@ -948,7 +1047,12 @@ def main(argv=None):
     parser.add_argument("--t", type=int, default=42)
     parser.add_argument("--hw", type=int, default=64)
     parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--device", default="cuda:0")
     args = parser.parse_args(argv)
+
+    from ..main import resolve_device
+
+    resolve_device(args.device)
 
     import jax.numpy as jnp
 

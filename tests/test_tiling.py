@@ -369,3 +369,57 @@ def test_predictor_tile_one_executable_across_patient_shapes(tmp_path):
     assert tiled._tile_fwd._cache_size() == 1, (
         "three patient shapes must share one compiled net executable"
     )
+
+
+def test_perf_probe_tile_serving_smoke():
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools import (
+        perf_probe,
+    )
+
+    row = perf_probe.probe_tile_serving(
+        6, 16, jnp.float32, 1, tile=12, overlap=3, sizes=(12, 16),
+        feats=(6, 6), stages=1, margins=2,
+    )
+    assert row["hw16"]["tiled_ms_per_clip"] > 0
+    assert row["hw16"]["whole_ms_per_clip"] > 0
+    assert row["tiled_compile_sec"] > 0
+
+
+def test_predictor_tile_composes_with_t_bucket_and_exports(tmp_path):
+    """Kitchen-sink composition: variable-length patients bucketed on T
+    (t_bucket) AND tiled on (H, W) in one predictor, with CSV/GIF/PNG and
+    NIfTI exports — the pads interact (bucket pads frames, tiling windows
+    every padded frame) and both slice back before scoring/export."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures import make_acdc_tree
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+        RefineNet,
+    )
+
+    tree = make_acdc_tree(
+        tmp_path / "acdc", hr_size=(96, 96), patients_per_split=2, slices=1,
+        frames_per_patient=[6, 7],
+    )
+    net = RefineNet(
+        in_channels=1, out_channels=1, num_features=[6, 6], upscale_factor=4,
+        num_stages=1, update_memory=True, num_updated_frames=2,
+        refine_window_size=5, positional_encoding=True,
+    )
+    plain = _predictor("vsr", tree, net, tmp_path / "plain")
+    log_plain = plain.predict()
+
+    combo = _predictor(
+        "vsr", tree, net, tmp_path / "combo",
+        tile=16, tile_overlap=5, t_bucket=4, export_nifti=True,
+    )
+    combo.params = plain.params
+    log_combo = combo.predict()
+
+    assert np.isfinite(log_combo["Loss"])
+    assert abs(log_combo["PSNR"] - log_plain["PSNR"]) < 0.5
+    rows = lambda d: sum(1 for _ in open(d / "results.csv"))  # noqa: E731
+    assert rows(tmp_path / "combo") == rows(tmp_path / "plain")
+    assert list((tmp_path / "combo" / "nifti").rglob("*.nii.gz"))
