@@ -20,8 +20,8 @@ the tile), and each window only *owns* output pixels at least ``overlap``
 input-pixels away from its window edges — unless that edge is the true
 image edge, where the window sees exactly what the untiled net sees.
 Hence: **overlap >= the net's receptive-field radius  =>  tiled == untiled**
-(to reduction-order ulps; asserted in tests/test_ops.py on EDSR and
-bicubic).  For recurrent nets (RefineNet/FRVSR/DRF) the spatial receptive
+(to reduction-order ulps; asserted in tests/test_tiling.py on EDSR and toy
+conv nets).  For recurrent nets (RefineNet/FRVSR/DRF) the spatial receptive
 field grows with sequence length — with warm-up margins U=6 and 3 conv
 layers per direction the radius is ~tens of pixels, so tiling is
 *approximate* at practical overlaps; the deviation is border-localized and
@@ -85,9 +85,14 @@ def plan_1d(size: int, tile: int, overlap: int) -> list[tuple[int, int, int]]:
         if i + 1 < len(starts):
             hi = starts[i + 1] + overlap
             # the invariant the exactness proof rests on — never trust it
-            # silently (linspace rounding bounds are easy to get wrong)
-            assert lo >= start + overlap or start == 0
-            assert hi <= start + tile - overlap
+            # silently (linspace rounding bounds are easy to get wrong), and
+            # never strip it (`python -O` removes asserts)
+            if (lo < start + overlap and start != 0) or hi > start + tile - overlap:
+                raise RuntimeError(
+                    f"plan_1d internal error: window {i} at {start} owns "
+                    f"[{lo}, {hi}) without a full {overlap}-px halo "
+                    f"(size={size}, tile={tile})"
+                )
         else:
             hi = size
         bounds.append((start, lo, hi))

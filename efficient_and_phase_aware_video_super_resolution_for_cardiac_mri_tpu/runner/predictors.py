@@ -99,9 +99,10 @@ class BasePredictor:
                     "tile requires tile_overlap (>= the net's receptive-field "
                     "radius in LR pixels — see docs/TPU_EXTENSIONS.md)"
                 )
-            if min(hw) <= 2 * int(tile_overlap):
+            if tile_overlap < 0 or min(hw) <= 2 * int(tile_overlap):
                 raise ValueError(
-                    f"tile {hw} must exceed 2*tile_overlap ({2 * int(tile_overlap)})"
+                    f"tile {hw} must exceed 2*tile_overlap "
+                    f"({2 * int(tile_overlap)}) and tile_overlap must be >= 0"
                 )
             if mesh is not None:
                 raise ValueError(
@@ -231,10 +232,11 @@ class BasePredictor:
         cdtype = self.compute_dtype
         mesh = self.mesh
 
-        def score_tail(out, batch, masks, out_h):
+        def score_tail(out, target, masks, out_h):
             """losses + metrics + display denorm from the (assembled) SR
-            output — shared by the plain step and the tiled path."""
-            target = self._targets(batch)
+            output — shared by the plain step and the tiled path (which
+            passes ONLY the target, not the whole batch: the LR inputs were
+            already transferred window-by-window)."""
             if out_h is not None:
                 # pad_h: drop the edge-extended rows BEFORE losses/metrics —
                 # the padded target rows crop back to exactly the original
@@ -265,7 +267,9 @@ class BasePredictor:
             )
             if cdtype is not None:
                 outputs = cast_floating(outputs, jnp.float32)
-            return score_tail(self._select_output(outputs), batch, masks, out_h)
+            return score_tail(
+                self._select_output(outputs), self._targets(batch), masks, out_h
+            )
 
         if self.aot_cache:
             from ..utils import aot
@@ -323,7 +327,7 @@ class BasePredictor:
                 tile_hw,
                 overlap,
             )
-            return score(out, batch, masks, out_h)
+            return score(out, self._targets(batch), masks, out_h)
 
         return step
 

@@ -111,6 +111,10 @@ def main(argv=None):
     if args.tile is not None:
         if args.tile_overlap is None:
             parser.error("--tile requires --tile-overlap")
+        if args.tile_overlap < 0 or args.tile <= 2 * args.tile_overlap:
+            parser.error(f"--tile ({args.tile}) must exceed 2*--tile-overlap "
+                         f"({2 * args.tile_overlap}) and the overlap must be "
+                         ">= 0")
         if args.spatial_parallel > 1 or args.pad_h:
             parser.error("--tile excludes --spatial-parallel/--pad-h "
                          "(pick one spatial strategy)")
@@ -147,14 +151,19 @@ def main(argv=None):
     # link and then run the metrics op-by-op per frame (bench.py's measured
     # latency-vs-pipelined lesson, PERF_NOTES).  true_hr_h is static: one
     # trace per shape GROUP, which the grouping already guarantees.
-    @functools.partial(jax.jit, static_argnums=(4,))
-    def forward_scores(v, lr, pos, hr, true_hr_h):
-        out = model.apply(v, lr, pos)[-1]
-        out = out[..., :true_hr_h, :, :]  # crop pad_h rows (no-op unpadded)
+    def _score_tail(out, hr):
+        """denorm + per-frame PSNR/SSIM — the one scoring protocol, shared
+        by the whole-frame step and the --tile path's per-shape scorer."""
         out_d = denormalize(out, "acdc")
         hr_d = denormalize(hr, "acdc")
         flat = lambda x: x.reshape((-1,) + x.shape[2:])  # (B,T,H,W,C)->(B·T,...)
         return psnr(flat(out_d), flat(hr_d)), ssim(flat(out_d), flat(hr_d))
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def forward_scores(v, lr, pos, hr, true_hr_h):
+        out = model.apply(v, lr, pos)[-1]
+        out = out[..., :true_hr_h, :, :]  # crop pad_h rows (no-op unpadded)
+        return _score_tail(out, hr)
 
     if args.aot_cache:
         from ..utils import aot
@@ -176,12 +185,7 @@ def main(argv=None):
         def tile_fwd(v, lr, pos):
             return model.apply(v, lr, pos)[-1]
 
-        @jax.jit
-        def score_only(out, hr):
-            out_d = denormalize(out, "acdc")
-            hr_d = denormalize(hr, "acdc")
-            flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
-            return psnr(flat(out_d), flat(hr_d)), ssim(flat(out_d), flat(hr_d))
+        score_only = jax.jit(_score_tail)
 
         if args.aot_cache:
             from ..utils import aot

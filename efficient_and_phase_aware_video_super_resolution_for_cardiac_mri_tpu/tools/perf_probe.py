@@ -923,9 +923,12 @@ def probe_tile_serving(T, HW, dtype, iters, tile=None, overlap=None,
     # frame compile time is part of the measurement — through the tunnel
     # each flagship compile is 5-10 min, which is exactly the cost the tile
     # path's single executable avoids.
-    tile = tile or HW
-    overlap = overlap or max(2, HW // 8)
-    sizes = sizes or (HW, HW + HW // 4, HW + HW // 2)
+    if tile is None:
+        tile = HW
+    if overlap is None:
+        overlap = max(2, HW // 8)
+    if sizes is None:
+        sizes = (HW, HW + HW // 4, HW + HW // 2)
     if feats is None:
         feats = (64, 64, 64) if HW >= 32 else (6, 6)
     if stages is None:

@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from fixtures import make_acdc_tree
 
 from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.ops.tiling import (
     plan_1d,
@@ -222,11 +223,6 @@ def _predictor(kind, tree, net, saved_dir, ds_kwargs=None, **pred_kwargs):
 def test_predictor_tile_exact_for_conv_net(tmp_path):
     """SISR/EDSR end-to-end: receptive-field radius ~6 (1 resblock), overlap
     6 => the tiled predictor's scores equal the untiled ones."""
-    import sys
-
-    sys.path.insert(0, "tests")
-    from fixtures import make_acdc_tree
-
     from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
         EDSRNet,
     )
@@ -257,11 +253,6 @@ def test_predictor_tile_exact_for_conv_net(tmp_path):
 def test_predictor_tile_close_for_recurrent_net(tmp_path):
     """VSRRefineNet (recurrent — spatial RF grows with T, so tiling is
     approximate): scores stay close and the export protocol is unchanged."""
-    import sys
-
-    sys.path.insert(0, "tests")
-    from fixtures import make_acdc_tree
-
     from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
         RefineNet,
     )
@@ -390,11 +381,6 @@ def test_predictor_tile_composes_with_t_bucket_and_exports(tmp_path):
     (t_bucket) AND tiled on (H, W) in one predictor, with CSV/GIF/PNG and
     NIfTI exports — the pads interact (bucket pads frames, tiling windows
     every padded frame) and both slice back before scoring/export."""
-    import sys
-
-    sys.path.insert(0, "tests")
-    from fixtures import make_acdc_tree
-
     from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
         RefineNet,
     )
