@@ -331,7 +331,24 @@ def main(out: Path, data_root: str, models_root: str):
         warp_tpu["net"]["kwargs"]["max_flow"] = 4
         warp_tpu["predictor"]["kwargs"]["compute_dtype"] = "bfloat16"
         _dump(warp_tpu, out / "test" / fam / "exp1_x4_tpu.yaml")
-    count += 6
+    # DSB15 tiled-serving showcase: the external-eval split is the
+    # heterogeneous-shape case — every distinct (H, W) otherwise costs its
+    # own multi-minute flagship compile; tile 64 / overlap 12 serves ANY
+    # frame size through ONE executable (ops/tiling.py; recurrent RefineNet
+    # makes tiling approximate — border-localized, validate with
+    # tools/parity_check on your data; composes with aot_cache: a single
+    # signature to store).
+    dsb_tile = test_config("refine_net", 4, data_root, models_root,
+                           dataset_prefix="Dsb15", suffix="_dsb15_tile_tpu")
+    dsb_tile["main"]["loaded_path"] = (
+        f"{models_root}/acdc/refine_net/exp1_x4/train/checkpoints/model_best.pth"
+    )
+    dsb_tile["predictor"]["kwargs"].update(
+        tile=64, tile_overlap=12, compute_dtype="bfloat16",
+        aot_cache=f"{models_root}/acdc/refine_net/exp1_x4_tpu/aot_cache",
+    )
+    _dump(dsb_tile, out / "test" / "refine_net" / "exp1_x4_dsb15_tile_tpu.yaml")
+    count += 7
     print(f"Wrote {count} configs under {out}.")
 
 
