@@ -409,3 +409,78 @@ def test_predictor_tile_composes_with_t_bucket_and_exports(tmp_path):
     rows = lambda d: sum(1 for _ in open(d / "results.csv"))  # noqa: E731
     assert rows(tmp_path / "combo") == rows(tmp_path / "plain")
     assert list((tmp_path / "combo" / "nifti").rglob("*.nii.gz"))
+
+
+def test_predictor_tile_misr_workload_exact(tmp_path):
+    """MISR through the predictor tile path: rank-5 window input, rank-4
+    center-frame output (the DUF/TOFlow/EDVR shape contract), exact for a
+    toy net whose RF the overlap covers."""
+    from pathlib import Path
+
+    from flax import linen as nn
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu import (
+        losses as L,
+        metrics as ME,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.data.loader import (
+        Dataloader,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.predictors import (
+        MISRPredictor,
+    )
+
+    class ToyMISR(nn.Module):
+        """(B, T, h, w, C) window -> (B, 2h, 2w, 1): 2 convs (RF radius 2)."""
+
+        @nn.compact
+        def __call__(self, x):
+            b, t, h, w, c = x.shape
+            y = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, t * c)
+            y = nn.relu(nn.Conv(8, (3, 3), padding="SAME")(y))
+            y = nn.Conv(4, (3, 3), padding="SAME")(y)
+            y = y.reshape(b, h, w, 2, 2, 1).transpose(0, 1, 3, 2, 4, 5)
+            return y.reshape(b, h * 2, w * 2, 1)
+
+    rng = np.random.default_rng(8)
+    items = [
+        {"lr_imgs": rng.uniform(-1, 1, (5, 20, 28, 1)).astype(np.float32),
+         "hr_img": rng.uniform(-1, 1, (40, 56, 1)).astype(np.float32),
+         "index": i}
+        for i in range(2)
+    ]
+
+    class _Ds:
+        def __init__(self):
+            self.data = [
+                (Path(f"patient{i:03d}_2d_slice01.nii.gz"), None, 0)
+                for i in range(len(items))
+            ]
+
+        def __len__(self):
+            return len(items)
+
+        def __getitem__(self, i):
+            return items[i]
+
+    def make_pred(**kw):
+        pred = MISRPredictor(
+            device="cpu",
+            test_dataloader=Dataloader(_Ds(), batch_size=1, shuffle=False),
+            net=ToyMISR(),
+            loss_fns=[L.LOSSES.get("L1Loss")()],
+            metric_fns=[ME.METRICS.get("PSNR")()],
+            **kw,
+        )
+        batch = {k: (np.asarray(v)[None] if hasattr(v, "ndim") else [v])
+                 for k, v in items[0].items()}
+        pred.init_params_like(batch)
+        return pred
+
+    exact = make_pred()
+    log_exact = exact.predict()
+    tiled = make_pred(tile=12, tile_overlap=3)
+    tiled.params = exact.params
+    log_tiled = tiled.predict()
+    assert log_tiled["PSNR"] == pytest.approx(log_exact["PSNR"], abs=1e-4)
+    assert log_tiled["Loss"] == pytest.approx(log_exact["Loss"], abs=1e-6)
