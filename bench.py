@@ -291,7 +291,7 @@ def _measure() -> dict:
         except Exception as e:  # keep the headline metric robust
             train = {"error": str(e)[:200]}
     else:
-        measured_at = "2f2d030"
+        measured_at = "9843fc9"
         try:
             import subprocess
 
@@ -302,10 +302,10 @@ def _measure() -> dict:
         except Exception:
             head = None
         train = {
-            "steps_per_sec": 3.43,
+            "steps_per_sec": 3.46,
             "batch": 16,
             "note": "cached measurement; set EVSR_BENCH_TRAIN=1 to remeasure",
-            "measured_at_commit": f"{measured_at} (round 3; 3.433 measured "
+            "measured_at_commit": f"{measured_at} (round 3; 3.458 measured "
             "fresh at this commit, 3.43-3.6 across rounds 2-3, "
             "fetch-amortized protocol)",
             # honest-staleness flag: HEAD moved since the measurement, so a
