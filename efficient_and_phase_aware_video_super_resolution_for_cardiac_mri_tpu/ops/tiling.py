@@ -133,6 +133,35 @@ def _pad_to_tile(arr: np.ndarray, tile_hw) -> np.ndarray:
     return np.pad(arr, pads, mode="edge")
 
 
+def _device_crop(win, f_h: int, s_h: int, f_w: int, s_w: int):
+    """``win[..., f_h:f_h+s_h, f_w:f_w+s_w, :]`` without a host round-trip.
+
+    jax arrays: ``lax.dynamic_slice`` with static SIZES and dynamic starts —
+    XLA caches one executable per (input shape/dtype, sizes) and takes the
+    starts as runtime scalars, so every window of a serving plan (and every
+    plan sharing the box size) reuses a single tiny slice program instead of
+    compiling one slice per static offset.  numpy arrays (un-jitted
+    ``tile_fn``): a plain host view.
+    """
+    nd = win.ndim
+    try:
+        import jax
+
+        is_jax = isinstance(win, jax.Array)
+    except ImportError:
+        is_jax = False
+    if not is_jax:
+        ix = [slice(None)] * nd
+        ix[nd - 3] = slice(f_h, f_h + s_h)
+        ix[nd - 2] = slice(f_w, f_w + s_w)
+        return win[tuple(ix)]
+    starts = [np.int32(0)] * nd
+    starts[nd - 3], starts[nd - 2] = np.int32(f_h), np.int32(f_w)
+    sizes = list(win.shape)
+    sizes[nd - 3], sizes[nd - 2] = s_h, s_w
+    return jax.lax.dynamic_slice(win, starts, sizes)
+
+
 def tiled_apply(tile_fn, inputs, tile_hw, overlap: int):
     """Run ``tile_fn`` (device fn: full-batch network forward returning ONE
     HR array) over fixed-shape spatial windows of ``inputs`` and stitch the
@@ -172,7 +201,9 @@ def tiled_apply(tile_fn, inputs, tile_hw, overlap: int):
         ]
         h, w = arrays[spatial[0]].shape[-3:-1]
 
-    plan = plan_hw(h, w, (th, tw), overlap)
+    plan_h = plan_1d(h, th, overlap)
+    plan_w = plan_1d(w, tw, overlap)
+    plan = [(ph, pw) for ph in plan_h for pw in plan_w]
     outs = []
     for (hs, _, _), (ws, _, _) in plan:
         win_args = [
@@ -181,7 +212,7 @@ def tiled_apply(tile_fn, inputs, tile_hw, overlap: int):
         ]
         outs.append(tile_fn(*win_args))  # dispatch only; fetch below
 
-    first = np.asarray(outs[0])
+    first = outs[0]  # shape/dtype are known without a device fetch
     oth, otw = first.shape[-3], first.shape[-2]
     if oth % th or otw % tw:
         raise ValueError(
@@ -189,14 +220,34 @@ def tiled_apply(tile_fn, inputs, tile_hw, overlap: int):
             f"integer multiple of the tile {th}x{tw}"
         )
     rh, rw = oth // th, otw // tw
+    # Crop every window to (a fixed-size box around) its owned core ON DEVICE
+    # before fetching: the stitch never reads the halo pixels, and on
+    # remote/tunneled backends the device->host copy of the duplicated halos
+    # dominates the tiled path (measured 2.56x the frame's bytes at
+    # tile 64 / frame 80).  A dynamic-start static-SIZE slice keeps it to one
+    # tiny slice executable per box size (starts are runtime args to XLA);
+    # the box is the per-axis max owned span, clamped inside the window, and
+    # the exact core is cut from the fetched box on the host.
+    crop = _device_crop if len(plan) > 1 else None
+    if crop is not None:
+        s_h = max(p[2] - p[1] for p in plan_h)
+        s_w = max(p[2] - p[1] for p in plan_w)
+        boxes, cropped = [], []
+        for ((hs, h_lo, h_hi), (ws, w_lo, w_hi)), win in zip(plan, outs):
+            f_h = min(h_lo - hs, th - s_h)
+            f_w = min(w_lo - ws, tw - s_w)
+            cropped.append(crop(win, f_h * rh, s_h * rh, f_w * rw, s_w * rw))
+            boxes.append(((h_lo - hs - f_h) * rh, (w_lo - ws - f_w) * rw))
+        outs = cropped
     out_shape = first.shape[:-3] + (h * rh, w * rw, first.shape[-1])
     out = np.empty(out_shape, first.dtype)
-    for ((hs, h_lo, h_hi), (ws, w_lo, w_hi)), win in zip(plan, outs):
+    for k, (((hs, h_lo, h_hi), (ws, w_lo, w_hi)), win) in enumerate(zip(plan, outs)):
         win = np.asarray(win)
+        oy, ox = boxes[k] if crop is not None else ((h_lo - hs) * rh, (w_lo - ws) * rw)
         out[..., h_lo * rh:h_hi * rh, w_lo * rw:w_hi * rw, :] = win[
             ...,
-            (h_lo - hs) * rh:(h_hi - hs) * rh,
-            (w_lo - ws) * rw:(w_hi - ws) * rw,
+            oy:oy + (h_hi - h_lo) * rh,
+            ox:ox + (w_hi - w_lo) * rw,
             :,
         ]
     if true_hw != (h, w):

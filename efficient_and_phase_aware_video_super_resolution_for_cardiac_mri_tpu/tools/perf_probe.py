@@ -908,9 +908,10 @@ def probe_tile_serving(T, HW, dtype, iters, tile=None, overlap=None,
     every size (vs one multi-minute compile per size) and bounds HBM by the
     tile, at the cost of halo recompute — upper-bounded by
     (tile/(tile-2*overlap))^2 per axis-pair, so bigger tiles amortize
-    better.  Timings include the host-side window slicing + assembly (the
-    honest end-to-end serving cost); compile seconds are wall-clock
-    observed."""
+    better.  Timings include the host-side window slicing + assembly AND
+    the full-output device->host fetch in BOTH arms (serving materializes
+    SR frames on the host — through the tunnel that fetch is a large share
+    of either arm); compile seconds are wall-clock observed."""
     import jax
     import jax.numpy as jnp
 
@@ -980,10 +981,14 @@ def probe_tile_serving(T, HW, dtype, iters, tile=None, overlap=None,
         float(jnp.sum(f(variables, xd, pd)))  # per-size compile
         row["whole_compile_sec"] = round(time.perf_counter() - t0, 1)
         whole_compile += row["whole_compile_sec"]
+        np.asarray(f(variables, xd, pd))  # warm the output-fetch path
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            float(jnp.sum(f(variables, xd, pd)))
+            # fetch the FULL output, like the tiled arm (serving materializes
+            # SR frames on the host; a checksum-only whole arm made the tiled
+            # overhead look 4x worse through the tunnel than it is)
+            np.asarray(f(variables, xd, pd))
             times.append(time.perf_counter() - t0)
         row["whole_ms_per_clip"] = round(float(np.median(times)) * 1e3, 2)
         row["tiled_overhead"] = round(

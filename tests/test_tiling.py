@@ -484,3 +484,38 @@ def test_predictor_tile_misr_workload_exact(tmp_path):
     log_tiled = tiled.predict()
     assert log_tiled["PSNR"] == pytest.approx(log_exact["PSNR"], abs=1e-4)
     assert log_tiled["Loss"] == pytest.approx(log_exact["Loss"], abs=1e-6)
+
+
+def test_device_crop_matches_host_slice_for_jax_and_numpy():
+    """The pre-fetch owned-core crop (one dynamic-start slice executable)
+    must cut exactly the box the stitch expects, for jax AND numpy window
+    outputs, including the clamped edge-window case (f = tile - max_span)."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.ops.tiling import (
+        _device_crop,
+    )
+
+    rng = np.random.default_rng(0)
+    win_np = rng.standard_normal((2, 3, 24, 24, 1)).astype(np.float32)
+    win_jx = jnp.asarray(win_np)
+    for f_h, s_h, f_w, s_w in [(0, 10, 5, 8), (14, 10, 16, 8), (0, 24, 0, 24)]:
+        want = win_np[:, :, f_h:f_h + s_h, f_w:f_w + s_w, :]
+        np.testing.assert_array_equal(
+            np.asarray(_device_crop(win_jx, f_h, s_h, f_w, s_w)), want
+        )
+        np.testing.assert_array_equal(
+            _device_crop(win_np, f_h, s_h, f_w, s_w), want
+        )
+
+
+def test_tiled_apply_uneven_owned_spans_stitch_exactly():
+    """Sizes whose plans produce UNEQUAL owned spans (edge vs interior
+    windows) exercise the fixed-size fetch box + host offset logic: the
+    assembled output must still equal the whole-frame forward bit-for-bit
+    for an identity-like tile_fn."""
+    x = np.random.default_rng(1).standard_normal((1, 80, 80, 1)).astype(np.float32)
+
+    def fwd(a):
+        return jnp.asarray(a) * 2.0  # rf radius 0: tiled must be EXACT
+
+    got = tiled_apply(fwd, (x,), (64, 64), overlap=8)
+    np.testing.assert_array_equal(got, x * 2.0)
