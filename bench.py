@@ -304,7 +304,11 @@ def _measure() -> dict:
         train = {
             "steps_per_sec": 3.46,
             "batch": 16,
-            "note": "cached measurement; set EVSR_BENCH_TRAIN=1 to remeasure",
+            "remat_steps_per_sec": 3.85,
+            "note": "cached measurement; set EVSR_BENCH_TRAIN=1 to remeasure. "
+            "remat_steps_per_sec is the `remat: true` showcase default "
+            "(same-process A/B, perf_probe remat_train: +11% AND 3.8x less "
+            "temp HBM; gradients bit-identical)",
             "measured_at_commit": f"{measured_at} (round 3; 3.458 measured "
             "fresh at this commit, 3.43-3.6 across rounds 2-3, "
             "fetch-amortized protocol)",

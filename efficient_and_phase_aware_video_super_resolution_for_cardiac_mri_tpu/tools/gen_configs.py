@@ -270,6 +270,11 @@ def main(out: Path, data_root: str, models_root: str):
     tpu_train = train_config("refine_net", 4, data_root, models_root)
     tpu_train["main"]["saved_dir"] = f"{models_root}/acdc/refine_net/exp1_x4_tpu/train"
     tpu_train["trainer"]["kwargs"]["compute_dtype"] = "bfloat16"
+    # per-scan-step remat: gradients bit-identical, temp memory 3.8x smaller
+    # AND measured 11% FASTER on-chip at this protocol (saving per-step
+    # activations costs more HBM traffic than recomputing them —
+    # PERF_NOTES "Remat on-chip")
+    tpu_train["net"]["kwargs"]["remat"] = True
     # preemption-resume restarts skip the train-step compile (utils/aot.py)
     tpu_train["trainer"]["kwargs"]["aot_cache"] = (
         f"{models_root}/acdc/refine_net/exp1_x4_tpu/aot_cache"
