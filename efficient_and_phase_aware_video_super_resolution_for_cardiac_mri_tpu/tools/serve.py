@@ -1,0 +1,364 @@
+"""Headless SR serving: raw LR NIfTI volumes in → SR NIfTI volumes out.
+
+No reference counterpart: the reference can only *evaluate* datasets that
+carry HR targets (``src/runner/predictors/*``); production inference — new
+patients with nothing but an LR acquisition — has no entry point there.
+This CLI is that entry point, composed from the framework's serving
+primitives (docs/TPU_EXTENSIONS.md):
+
+* zoo nets + checkpoints (``runner/checkpoint.load_net_variables`` — ours or
+  genuine reference ``.pth``),
+* the flagship's warm-up margins + phase codes: margins are rebuilt by
+  circular extension exactly like the eval datasets
+  (``data/datasets.VSRRefineNetDataset``: LR = one cycle + U wrapped frames
+  each side, reference ``acdc_vsr_refinenet_dataset.py:74-83``), and a
+  volume with NO precomputed position code gets one generated on the fly
+  with the preprocessing tools' own algorithm (``tools/cardiac_cropping
+  .find_bbox`` + ``tools/gen_positional_encoding.phase_code``, reference
+  ``src/gen_positional_encoding.py:24-38``),
+* shape-bounding knobs for heterogeneous patients: ``--t-bucket`` (circular
+  cycle extension, sliced back to the true T) and ``--tile``/
+  ``--tile-overlap`` (fixed-shape tiled inference, ``ops/tiling.py``),
+* ``--aot-cache`` persistent executables (restart skips the compile),
+  ``--dtype bfloat16`` compute casting, and double-buffered dispatch
+  (``utils/dispatch.DoubleBuffer``: volume k+1 is on the device before
+  volume k's fetch + disk write finish).
+
+Outputs mirror the input tree: ``OUT/<relpath>`` with the SR volume in the
+source (H*r, W*r, S, T) layout, values denormalized to rounded [0, 255]
+like every exporter (``runner/common.denorm_uint8``).  Writes are atomic
+(tmp + rename) and existing outputs are skipped, so ``--watch`` mode — poll
+the input directory until SIGTERM/SIGINT — is restart- and crash-safe.
+
+    python -m <pkg>.tools.serve CONFIG.yaml --in LR_DIR --out SR_DIR \
+        [--ckpt model_best.pth] [--stats acdc|dsb15|MEAN,STD] \
+        [--pos-code position_code.pkl] [--dtype bfloat16] [--t-bucket N] \
+        [--tile N [--tile-overlap R]] [--aot-cache DIR] \
+        [--watch [--poll SEC]] [--device cuda:0|cpu]
+
+CONFIG.yaml is any zoo config — only its ``net:`` section (and
+``main.loaded_path`` as the default checkpoint) is read.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import pickle
+import signal
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..config import NETS, load_config
+from ..utils import nifti
+from ..utils.stats import get_stats
+
+LOG = logging.getLogger("evsr.serve")
+
+#: which element of a multi-output net forward is the served SR frame —
+#: mirrors the predictors (``runner/predictors.py``): RefineNet-style stage
+#: lists serve the final fused stage (reference
+#: ``acdc_vsr_refinenet_predictor.py:62``), FRVSR returns (sr, warped).
+_OUTPUT_PICKERS = {
+    "FRVSRNet": lambda outs: outs[0] if isinstance(outs, (tuple, list)) else outs,
+}
+
+
+def _pick_output(net_name: str, outputs):
+    picker = _OUTPUT_PICKERS.get(net_name)
+    if picker is not None:
+        return picker(outputs)
+    return outputs[-1] if isinstance(outputs, (tuple, list)) else outputs
+
+
+def neutral_phase_code(T: int) -> np.ndarray:
+    """Fallback when phase estimation fails (blank/degenerate data): one
+    cosine period over the cycle — the code's *shape* without a detected
+    end-systole anchor."""
+    return np.cos(np.linspace(0, 2 * np.pi, T, endpoint=False)).astype(np.float32)
+
+
+def generate_phase_code(raw_slice: np.ndarray) -> np.ndarray:
+    """(H, W, 1, T) RAW (un-normalized) LR sequence → (T,) phase code.
+
+    The offline pipeline derives codes from HR data + motion bboxes
+    (``gen_positional_encoding.py``); at serving time only LR exists, so the
+    same Otsu end-systole algorithm runs on the LR frames with a motion bbox
+    found on them (full frame if bbox detection degenerates)."""
+    from .cardiac_cropping import find_bbox
+    from .gen_positional_encoding import phase_code
+
+    H, W, _, T = raw_slice.shape
+    try:
+        bbox = find_bbox(raw_slice)
+        h0, hn, w0, wn = bbox
+        if hn - h0 < 2 or wn - w0 < 2:
+            bbox = (0, H, 0, W)
+    except Exception:
+        bbox = (0, H, 0, W)
+    try:
+        code = phase_code(raw_slice, bbox)
+        if code.shape != (T,) or not np.all(np.isfinite(code)):
+            raise ValueError("degenerate code")
+        return code.astype(np.float32)
+    except Exception:
+        LOG.warning("phase-code estimation failed; using the neutral cosine code")
+        return neutral_phase_code(T)
+
+
+def _wrap(core: np.ndarray, U: int, t_bucket: int | None):
+    """Rebuild the eval-time input sequence from one cardiac cycle: circular
+    warm-up margins of U frames each side (dataset semantics above) and,
+    with ``t_bucket``, circular extension of the core to the next bucket
+    multiple (``runner/predictors.VSRPredictor._bucket_batch`` semantics).
+    ``core``: (T, ...) — returns (extended array, true T)."""
+    T = core.shape[0]
+    Tb = -(-T // t_bucket) * t_bucket if t_bucket else T
+    idx = np.arange(Tb) % T
+    back = np.arange(Tb, Tb + U) % T
+    parts = [core[T - U:], core[idx], core[back]] if U else [core[idx]]
+    return np.concatenate(parts, axis=0), T
+
+
+class Server:
+    """One loaded net + one compiled-forward family, serving volumes."""
+
+    def __init__(self, cfg, args):
+        import jax
+
+        from ..main import _import_components
+
+        _import_components()  # populate the NETS registry
+        net_kwargs = dict(cfg["net"].get("kwargs", {}))
+        self.net_name = cfg["net"]["name"]
+        self.net = NETS.get(self.net_name)(**net_kwargs)
+        self.margins = int(net_kwargs.get("num_updated_frames", 0) or 0)
+        self.positional = bool(net_kwargs.get("positional_encoding", False))
+        self.mean, self.std = _parse_stats(args.stats)
+        self.t_bucket = args.t_bucket
+        self.dtype = args.dtype
+        self.pos_codes = (
+            _load_pickle(args.pos_code) if args.pos_code else None
+        )
+
+        ckpt = args.ckpt or cfg.get("main", {}).get("loaded_path")
+        if not ckpt:
+            raise SystemExit("no checkpoint: pass --ckpt or set main.loaded_path")
+        from ..runner.checkpoint import load_net_variables
+
+        variables = dict(load_net_variables(ckpt, self.net_name))
+        self.variables = jax.tree.map(np.asarray, variables)
+        LOG.info(f"Loaded {self.net_name} weights from {ckpt}.")
+
+        self._build_forward(args)
+
+    def _build_forward(self, args):
+        import jax
+        import jax.numpy as jnp
+
+        from ..runner import common
+        from ..utils.casting import cast_floating
+
+        net, dtype = self.net, self.dtype
+        mean, std = self.mean, self.std
+        name = self.net_name
+        apply_kwargs = {"train": False} if common.accepts_train_kwarg(net) else {}
+
+        @jax.jit
+        def fwd(variables, *inputs):
+            if dtype:
+                variables = cast_floating(variables, dtype)
+                inputs = cast_floating(inputs, dtype)
+            out = _pick_output(name, net.apply(variables, *inputs, **apply_kwargs))
+            # denormalize ON DEVICE: the host fetch then moves display-ready
+            # frames only (same convention as every exporter)
+            return common.denorm_uint8(
+                cast_floating(out, jnp.float32) if dtype else out, mean, std
+            )
+
+        if args.aot_cache:
+            from ..utils import aot
+
+            fwd = aot.cached_dispatch(fwd, args.aot_cache, f"serve_{name}")
+
+        if args.tile:
+            from ..ops.tiling import tiled_apply
+
+            tile = (args.tile, args.tile)
+            overlap = args.tile_overlap
+
+            def run(variables, *inputs):
+                return tiled_apply(
+                    lambda *a: fwd(variables, *a), inputs, tile, overlap
+                )
+
+            self.forward = run
+        else:
+            self.forward = lambda variables, *inputs: fwd(variables, *inputs)
+
+    # ------------------------------------------------------------- per-file
+    def dispatch(self, src: Path):
+        """Load + preprocess one volume and dispatch the per-slice forwards.
+        Returns a list of per-slice device outputs + the true T (fetching is
+        the caller's ``finish`` step, one volume behind)."""
+        vol = np.asarray(nifti.load(src).data, np.float32)  # (H, W, S, T)
+        if vol.ndim == 3:
+            vol = vol[:, :, None, :]
+        if vol.ndim != 4:
+            raise ValueError(f"{src}: expected (H, W, S, T) volume, got {vol.shape}")
+        H, W, S, T = vol.shape
+        patient = src.name.split(".")[0].split("_")[0]
+
+        outs = []
+        true_t = T
+        for s in range(S):
+            raw = vol[:, :, s:s + 1, :]  # (H, W, 1, T)
+            frames = np.transpose(raw, (3, 0, 1, 2))  # (T, H, W, 1)
+            core = (frames - self.mean) / self.std
+            lr, true_t = _wrap(core, self.margins, self.t_bucket)
+            inputs = [lr[None]]  # (1, T + 2U, H, W, 1)
+            if self.positional:
+                code = self._phase_code(patient, raw)
+                pos, _ = _wrap(code[:, None], self.margins, self.t_bucket)
+                inputs.append(pos[None].astype(np.float32))
+            outs.append(self.forward(self.variables, *inputs))
+        return outs, true_t
+
+    def _phase_code(self, patient: str, raw_slice: np.ndarray) -> np.ndarray:
+        if self.pos_codes is not None:
+            code = self.pos_codes.get(patient)
+            if code is not None:
+                return np.asarray(code, np.float32)
+            LOG.warning(f"{patient}: not in --pos-code pickle; generating")
+        return generate_phase_code(raw_slice)
+
+    @staticmethod
+    def finish(outs, true_t: int, dst: Path):
+        """Fetch the per-slice outputs, assemble the source layout, write
+        atomically."""
+        srs = [np.asarray(o, np.float32)[0, :true_t] for o in outs]  # (T, H', W', 1)
+        sr = np.stack([np.transpose(s[..., 0], (1, 2, 0)) for s in srs], axis=2)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        # the tmp must keep the ".gz" FINAL suffix — nifti.save decides gzip
+        # compression by it — while staying invisible to the done-check
+        tmp = dst.with_name(
+            dst.name + (".tmp.gz" if dst.name.endswith(".gz") else ".tmp")
+        )
+        nifti.save(sr, tmp)
+        tmp.rename(dst)
+
+
+def _parse_stats(spec: str) -> tuple[float, float]:
+    if "," in spec:
+        m, s = spec.split(",")
+        return float(m), float(s)
+    return get_stats(spec)
+
+
+def _load_pickle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _out_path(src: Path, in_dir: Path, out_dir: Path) -> Path:
+    return out_dir / src.relative_to(in_dir)
+
+
+def discover(in_dir: Path, out_dir: Path, pattern: str):
+    """(src, dst) pairs not yet served, stable order."""
+    pairs = []
+    for src in sorted(in_dir.glob(pattern)):
+        if not src.is_file() or ".tmp" in src.name:
+            continue
+        dst = _out_path(src, in_dir, out_dir)
+        if not dst.exists():
+            pairs.append((src, dst))
+    return pairs
+
+
+def serve(args) -> int:
+    from ..main import resolve_device
+    from ..utils.dispatch import DoubleBuffer
+
+    resolve_device(args.device)
+    cfg = load_config(args.config)
+    server = Server(cfg, args)
+    in_dir, out_dir = Path(args.in_dir), Path(args.out_dir)
+
+    stop = threading.Event()
+    if args.watch:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, lambda *_: stop.set())
+            except ValueError:  # non-main thread (tests)
+                pass
+
+    buf = DoubleBuffer(lambda item: _finish_one(server, *item))
+    total = 0
+    while True:
+        pairs = discover(in_dir, out_dir, args.glob)
+        for src, dst in pairs:
+            if stop.is_set():
+                break
+            t0 = time.perf_counter()
+            try:
+                outs, true_t = server.dispatch(src)
+            except Exception as e:  # one bad volume must not kill the daemon
+                LOG.error(f"{src}: {type(e).__name__}: {e}")
+                continue
+            buf.push((outs, true_t, dst, src, t0))
+            total += 1
+        buf.drain()
+        if not args.watch or stop.is_set():
+            break
+        stop.wait(args.poll)
+    LOG.info(f"Served {total} volume(s).")
+    return total
+
+
+def _finish_one(server, outs, true_t, dst, src, t0):
+    server.finish(outs, true_t, dst)
+    sec = time.perf_counter() - t0
+    frames = true_t * len(outs)
+    LOG.info(f"{src.name}: {frames} frames in {sec:.2f}s ({frames / sec:.1f} fps) -> {dst}")
+
+
+def _parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("config", help="zoo YAML; only net: (+ main.loaded_path) is read")
+    p.add_argument("--in", dest="in_dir", required=True, help="LR NIfTI tree")
+    p.add_argument("--out", dest="out_dir", required=True, help="SR output tree")
+    p.add_argument("--ckpt", default=None, help="checkpoint (.pth, ours or torch)")
+    p.add_argument("--glob", default="**/*.nii*", help="input file pattern")
+    p.add_argument("--stats", default="acdc",
+                   help="'acdc', 'dsb15', or 'MEAN,STD' normalization stats")
+    p.add_argument("--pos-code", default=None,
+                   help="position_code.pkl with exact per-patient codes "
+                        "(generated from the LR data when absent)")
+    p.add_argument("--device", default="cuda:0")
+    p.add_argument("--dtype", default=None, help="compute dtype, e.g. bfloat16")
+    p.add_argument("--t-bucket", type=int, default=None,
+                   help="pad cycles circularly to a multiple (bounds executables)")
+    p.add_argument("--tile", type=int, default=None,
+                   help="fixed-shape tiled inference: LR tile size")
+    p.add_argument("--tile-overlap", type=int, default=8)
+    p.add_argument("--aot-cache", default=None,
+                   help="persistent AOT executable cache dir")
+    p.add_argument("--watch", action="store_true",
+                   help="poll --in for new volumes until SIGTERM/SIGINT")
+    p.add_argument("--poll", type=float, default=5.0, help="watch poll seconds")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        format="%(asctime)s | %(levelname)s | %(message)s", level=logging.INFO,
+        datefmt="%Y-%m-%d %H:%M:%S",
+    )
+    return serve(_parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()
