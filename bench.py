@@ -305,10 +305,11 @@ def _measure() -> dict:
             "steps_per_sec": 3.46,
             "batch": 16,
             "remat_steps_per_sec": 3.85,
+            "remat_bf16_steps_per_sec": 4.50,
             "note": "cached measurement; set EVSR_BENCH_TRAIN=1 to remeasure. "
-            "remat_steps_per_sec is the `remat: true` showcase default "
-            "(same-process A/B, perf_probe remat_train: +11% AND 3.8x less "
-            "temp HBM; gradients bit-identical)",
+            "remat(+bf16) rows are the showcase-default knobs (same-process "
+            "A/Bs, perf_probe remat_train: remat +11% f32 AND 0.26x temp "
+            "HBM; bf16+remat 4.50 steps/sec = +30%; gradients bit-identical)",
             "measured_at_commit": f"{measured_at} (round 3; 3.458 measured "
             "fresh at this commit, 3.43-3.6 across rounds 2-3, "
             "fetch-amortized protocol)",
