@@ -172,11 +172,14 @@ class Server:
                 variables = cast_floating(variables, dtype)
                 inputs = cast_floating(inputs, dtype)
             out = _pick_output(name, net.apply(variables, *inputs, **apply_kwargs))
-            # denormalize ON DEVICE: the host fetch then moves display-ready
-            # frames only (same convention as every exporter)
-            return common.denorm_uint8(
+            # denormalize ON DEVICE and fetch uint8: denorm_uint8 yields exact
+            # integers in [0, 255], so the cast is LOSSLESS and the
+            # device->host copy (the serving bottleneck on remote backends —
+            # measured ~1 s/volume through the tunnel at f32) shrinks 4x
+            out = common.denorm_uint8(
                 cast_floating(out, jnp.float32) if dtype else out, mean, std
             )
+            return out.astype(jnp.uint8)
 
         if args.aot_cache:
             from ..utils import aot
@@ -235,11 +238,19 @@ class Server:
         return generate_phase_code(raw_slice)
 
     @staticmethod
-    def finish(outs, true_t: int, dst: Path):
-        """Fetch the per-slice outputs, assemble the source layout, write
-        atomically."""
-        srs = [np.asarray(o, np.float32)[0, :true_t] for o in outs]  # (T, H', W', 1)
+    def assemble(outs, true_t: int, out_dtype=np.float32) -> np.ndarray:
+        """Fetch the per-slice outputs (uint8 across the wire) and assemble
+        the source (H', W', S, T) layout.  The default on-disk dtype is
+        float32 — the predictors' export_nifti convention; the uint8→f32
+        cast is exact (denorm_uint8 values are integers in [0, 255]), and
+        ``uint8`` quarters the written bytes losslessly."""
+        srs = [np.asarray(o)[0, :true_t] for o in outs]  # (T, H', W', 1) u8
         sr = np.stack([np.transpose(s[..., 0], (1, 2, 0)) for s in srs], axis=2)
+        return sr.astype(out_dtype)
+
+    @staticmethod
+    def write(sr: np.ndarray, dst: Path):
+        """Atomic NIfTI write (crash leaves only a .tmp; done-check is exact)."""
         dst.parent.mkdir(parents=True, exist_ok=True)
         # the tmp must keep the ".gz" FINAL suffix — nifti.save decides gzip
         # compression by it — while staying invisible to the done-check
@@ -248,6 +259,10 @@ class Server:
         )
         nifti.save(sr, tmp)
         tmp.rename(dst)
+
+    @classmethod
+    def finish(cls, outs, true_t: int, dst: Path, out_dtype=np.float32):
+        cls.write(cls.assemble(outs, true_t, out_dtype), dst)
 
 
 def _parse_stats(spec: str) -> tuple[float, float]:
@@ -279,6 +294,8 @@ def discover(in_dir: Path, out_dir: Path, pattern: str):
 
 
 def serve(args) -> int:
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..main import resolve_device
     from ..utils.dispatch import DoubleBuffer
 
@@ -286,6 +303,7 @@ def serve(args) -> int:
     cfg = load_config(args.config)
     server = Server(cfg, args)
     in_dir, out_dir = Path(args.in_dir), Path(args.out_dir)
+    out_dtype = np.dtype(args.out_dtype)
 
     stop = threading.Event()
     if args.watch:
@@ -295,34 +313,73 @@ def serve(args) -> int:
             except ValueError:  # non-main thread (tests)
                 pass
 
-    buf = DoubleBuffer(lambda item: _finish_one(server, *item))
-    total = 0
-    while True:
-        pairs = discover(in_dir, out_dir, args.glob)
-        for src, dst in pairs:
-            if stop.is_set():
+    # gzip + disk writes are pure host CPU (~0.4 s/volume measured for the
+    # f32 flagship output) — run them on writer threads so they overlap the
+    # next volume's device fetch; every future is drained before the next
+    # discover() pass, so the done-skip check never races a pending write
+    writers = ThreadPoolExecutor(max_workers=2, thread_name_prefix="evsr-write")
+    pending: list = []
+
+    def _finish_one(item):
+        outs, true_t, dst, src, t0 = item
+        sr = server.assemble(outs, true_t, out_dtype)
+        frames = true_t * len(outs)
+
+        def _write():
+            server.write(sr, dst)
+            sec = time.perf_counter() - t0
+            LOG.info(
+                f"{src.name}: {frames} frames in {sec:.2f}s "
+                f"({frames / sec:.1f} fps) -> {dst}"
+            )
+
+        pending.append(writers.submit(_write))
+
+    buf = DoubleBuffer(_finish_one)
+    total, busy_sec = 0, 0.0
+    try:
+        while True:
+            pairs = discover(in_dir, out_dir, args.glob)
+            cycle_t0 = time.perf_counter()
+            served_this_cycle = 0
+            for src, dst in pairs:
+                if stop.is_set():
+                    break
+                t0 = time.perf_counter()
+                try:
+                    outs, true_t = server.dispatch(src)
+                except Exception as e:  # one bad volume must not kill the daemon
+                    LOG.error(f"{src}: {type(e).__name__}: {e}")
+                    continue
+                buf.push((outs, true_t, dst, src, t0))
+                total += 1
+                served_this_cycle += 1
+            buf.drain()
+            for f in pending:
+                try:
+                    f.result()
+                except Exception as e:
+                    LOG.error(f"write failed: {type(e).__name__}: {e}")
+                    total -= 1
+                    served_this_cycle -= 1
+            pending.clear()
+            if served_this_cycle:
+                busy_sec += time.perf_counter() - cycle_t0
+            if not args.watch or stop.is_set():
                 break
-            t0 = time.perf_counter()
-            try:
-                outs, true_t = server.dispatch(src)
-            except Exception as e:  # one bad volume must not kill the daemon
-                LOG.error(f"{src}: {type(e).__name__}: {e}")
-                continue
-            buf.push((outs, true_t, dst, src, t0))
-            total += 1
-        buf.drain()
-        if not args.watch or stop.is_set():
-            break
-        stop.wait(args.poll)
-    LOG.info(f"Served {total} volume(s).")
+            stop.wait(args.poll)
+    finally:
+        writers.shutdown(wait=True)
+    if total and busy_sec:
+        # aggregate throughput (per-file lines measure dispatch->write
+        # LATENCY, which overlaps across volumes and so overstates cost)
+        LOG.info(
+            f"Served {total} volume(s) in {busy_sec:.1f}s busy "
+            f"({total / busy_sec:.2f} volumes/sec aggregate, incl. compile)."
+        )
+    else:
+        LOG.info(f"Served {total} volume(s).")
     return total
-
-
-def _finish_one(server, outs, true_t, dst, src, t0):
-    server.finish(outs, true_t, dst)
-    sec = time.perf_counter() - t0
-    frames = true_t * len(outs)
-    LOG.info(f"{src.name}: {frames} frames in {sec:.2f}s ({frames / sec:.1f} fps) -> {dst}")
 
 
 def _parse_args(argv=None):
@@ -339,6 +396,9 @@ def _parse_args(argv=None):
                         "(generated from the LR data when absent)")
     p.add_argument("--device", default="cuda:0")
     p.add_argument("--dtype", default=None, help="compute dtype, e.g. bfloat16")
+    p.add_argument("--out-dtype", default="float32", choices=["float32", "uint8"],
+                   help="on-disk SR dtype; values are exact [0,255] integers "
+                        "either way — uint8 quarters the written bytes")
     p.add_argument("--t-bucket", type=int, default=None,
                    help="pad cycles circularly to a multiple (bounds executables)")
     p.add_argument("--tile", type=int, default=None,

@@ -158,3 +158,19 @@ def test_bad_volume_does_not_kill_the_daemon(served, tmp_path):
     assert serve.main(argv) == 1  # the good one
     assert (out_dir / "patient003_2d+1d_sequence.nii.gz").exists()
     assert not (out_dir / "broken.nii.gz").exists()
+
+
+def test_out_dtype_uint8_is_exact(served):
+    """--out-dtype uint8 writes identical VALUES 4x smaller (denorm outputs
+    are exact [0,255] integers)."""
+    root = served["root"]
+    out4 = root / "sr_u8"
+    argv = list(served["argv"])
+    argv[argv.index("--out") + 1] = str(out4)
+    assert serve.main(argv + ["--out-dtype", "uint8"]) == 2
+    rel = "patient001_2d+1d_sequence.nii.gz"
+    a = nifti.load(served["out"] / rel).data
+    b = nifti.load(out4 / rel).data
+    assert b.dtype == np.uint8
+    np.testing.assert_array_equal(a, b.astype(np.float32))
+    assert (out4 / rel).stat().st_size < (served["out"] / rel).stat().st_size
