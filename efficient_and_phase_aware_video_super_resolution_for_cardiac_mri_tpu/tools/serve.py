@@ -6,8 +6,10 @@ patients with nothing but an LR acquisition — has no entry point there.
 This CLI is that entry point, composed from the framework's serving
 primitives (docs/TPU_EXTENSIONS.md):
 
-* zoo nets + checkpoints (``runner/checkpoint.load_net_variables`` — ours or
-  genuine reference ``.pth``),
+* EVERY zoo net + checkpoint (``runner/checkpoint.load_net_variables`` —
+  ours or genuine reference ``.pth``): whole-sequence nets take the clip,
+  MISR window nets get per-center-frame circular windows batched into one
+  dispatch, SISR nets get the frames batched (``_WORKLOADS``),
 * the flagship's warm-up margins + phase codes: margins are rebuilt by
   circular extension exactly like the eval datasets
   (``data/datasets.VSRRefineNetDataset``: LR = one cycle + U wrapped frames
@@ -63,6 +65,19 @@ LOG = logging.getLogger("evsr.serve")
 #: ``acdc_vsr_refinenet_predictor.py:62``), FRVSR returns (sr, warped).
 _OUTPUT_PICKERS = {
     "FRVSRNet": lambda outs: outs[0] if isinstance(outs, (tuple, list)) else outs,
+}
+
+#: how each zoo family consumes a cardiac cycle (the models/__init__
+#: taxonomy, mirroring the reference's SISR/MISR/VSR dataset split):
+#: ``sequence`` nets take the whole (1, T(+2U), H, W, C) clip; ``window``
+#: nets take per-center-frame N-frame windows (served as ONE batch of T
+#: windows); ``frame`` nets take independent frames (served as one batch).
+_WORKLOADS = {
+    "Bicubic": "frame", "EDSRNet": "frame", "SRFBNet": "frame",
+    "DRFSISRNet": "frame",
+    "DUFNet": "window", "EDVRNet": "window", "RBPNet": "window",
+    "TOFlowNet": "window",
+    "DRFNet": "sequence", "FRVSRNet": "sequence", "RefineNet": "sequence",
 }
 
 
@@ -134,8 +149,23 @@ class Server:
         net_kwargs = dict(cfg["net"].get("kwargs", {}))
         self.net_name = cfg["net"]["name"]
         self.net = NETS.get(self.net_name)(**net_kwargs)
-        self.margins = int(net_kwargs.get("num_updated_frames", 0) or 0)
+        self.workload = (
+            args.workload if args.workload != "auto"
+            else _WORKLOADS.get(self.net_name, "sequence")
+        )
+        self.margins = (
+            int(net_kwargs.get("num_updated_frames", 0) or 0)
+            if self.workload == "sequence" else 0
+        )
         self.positional = bool(net_kwargs.get("positional_encoding", False))
+        # MISR window construction (reference acdc_misr_dataset.py:52-68):
+        # the window size comes from the net itself (every window net carries
+        # it), the center convention from --temporal-order (dataset default
+        # 'middle' — no zoo config overrides it)
+        self.num_frames = int(
+            net_kwargs.get("num_frames") or net_kwargs.get("nframes") or 5
+        )
+        self.temporal_order = args.temporal_order
         self.mean, self.std = _parse_stats(args.stats)
         self.t_bucket = args.t_bucket
         self.dtype = args.dtype
@@ -220,14 +250,38 @@ class Server:
             raw = vol[:, :, s:s + 1, :]  # (H, W, 1, T)
             frames = np.transpose(raw, (3, 0, 1, 2))  # (T, H, W, 1)
             core = (frames - self.mean) / self.std
-            lr, true_t = _wrap(core, self.margins, self.t_bucket)
-            inputs = [lr[None]]  # (1, T + 2U, H, W, 1)
-            if self.positional:
-                code = self._phase_code(patient, raw)
-                pos, _ = _wrap(code[:, None], self.margins, self.t_bucket)
-                inputs.append(pos[None].astype(np.float32))
+            if self.workload == "sequence":
+                lr, true_t = _wrap(core, self.margins, self.t_bucket)
+                inputs = [lr[None]]  # (1, T + 2U, H, W, 1)
+                if self.positional:
+                    code = self._phase_code(patient, raw)
+                    pos, _ = _wrap(code[:, None], self.margins, self.t_bucket)
+                    inputs.append(pos[None].astype(np.float32))
+            else:
+                # frame / window nets: the whole cycle as ONE batch of T
+                # independent items (frames, or circular N-frame windows
+                # around each frame — reference acdc_misr_dataset.py:52-68);
+                # t_bucket pads the BATCH with wrapped centers
+                Tb = -(-T // self.t_bucket) * self.t_bucket if self.t_bucket else T
+                centers = np.arange(Tb) % T
+                if self.workload == "frame":
+                    inputs = [core[centers]]  # (Tb, H, W, 1)
+                else:
+                    idx = np.stack([self._window_idx(int(t), T) for t in centers])
+                    inputs = [core[idx]]  # (Tb, N, H, W, 1)
             outs.append(self.forward(self.variables, *inputs))
         return outs, true_t
+
+    def _window_idx(self, t: int, T: int) -> np.ndarray:
+        """Circular [start, end) window indices around center ``t`` —
+        ``temporal_order`` semantics of the MISR datasets
+        (``data/datasets._SRDatasetBase._bounds`` + ``_window``)."""
+        n = self.num_frames
+        if self.temporal_order == "last":
+            start, end = t - n + 1, t + 1
+        else:
+            start, end = t - (n - 1) // 2, t + ((n - 1) - (n - 1) // 2) + 1
+        return np.arange(start, end) % T
 
     def _phase_code(self, patient: str, raw_slice: np.ndarray) -> np.ndarray:
         if self.pos_codes is not None:
@@ -244,7 +298,12 @@ class Server:
         float32 — the predictors' export_nifti convention; the uint8→f32
         cast is exact (denorm_uint8 values are integers in [0, 255]), and
         ``uint8`` quarters the written bytes losslessly."""
-        srs = [np.asarray(o)[0, :true_t] for o in outs]  # (T, H', W', 1) u8
+        # sequence nets return (1, T', H', W', 1); frame/window nets return a
+        # (T', H', W', 1) batch of per-frame results — both slice to true T
+        srs = [
+            (a[0] if a.ndim == 5 else a)[:true_t]
+            for a in (np.asarray(o) for o in outs)
+        ]  # (T, H', W', 1) u8
         sr = np.stack([np.transpose(s[..., 0], (1, 2, 0)) for s in srs], axis=2)
         return sr.astype(out_dtype)
 
@@ -399,6 +458,11 @@ def _parse_args(argv=None):
     p.add_argument("--out-dtype", default="float32", choices=["float32", "uint8"],
                    help="on-disk SR dtype; values are exact [0,255] integers "
                         "either way — uint8 quarters the written bytes")
+    p.add_argument("--workload", default="auto",
+                   choices=["auto", "sequence", "window", "frame"],
+                   help="how the net consumes the cycle (auto: by net family)")
+    p.add_argument("--temporal-order", default="middle", choices=["middle", "last"],
+                   help="window-net center convention (MISR dataset default)")
     p.add_argument("--t-bucket", type=int, default=None,
                    help="pad cycles circularly to a multiple (bounds executables)")
     p.add_argument("--tile", type=int, default=None,

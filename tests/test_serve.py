@@ -174,3 +174,73 @@ def test_out_dtype_uint8_is_exact(served):
     assert b.dtype == np.uint8
     np.testing.assert_array_equal(a, b.astype(np.float32))
     assert (out4 / rel).stat().st_size < (served["out"] / rel).stat().st_size
+
+
+def test_frame_workload_edsr(served):
+    """SISR nets serve per-frame: served output == batched EDSR forward."""
+    root = served["root"]
+    kw = dict(in_channels=1, out_channels=1, num_resblocks=2,
+              num_features=6, upscale_factor=2)
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+        EDSRNet,
+    )
+    net = EDSRNet(**kw)
+    params = net.init(jax.random.PRNGKey(1),
+                      np.zeros((1, 12, 12, 1), np.float32))["params"]
+    ckpt = root / "edsr.pth"
+    ckpt_io.save_checkpoint(ckpt, params=params)
+    cfg = root / "edsr.yaml"
+    cfg.write_text(yaml.safe_dump({
+        "net": {"name": "EDSRNet", "kwargs": kw},
+        "main": {"loaded_path": str(ckpt)},
+    }))
+    out = root / "sr_edsr"
+    assert serve.main([str(cfg), "--in", str(served["in"]), "--out", str(out),
+                       "--device", "cpu"]) == 2
+    vol = served["vols"]["patient001_2d+1d_sequence.nii.gz"]
+    frames = np.transpose(vol[:, :, 0:1, :], (3, 0, 1, 2))
+    want = net.apply({"params": params}, (frames - MEAN) / STD)
+    want = np.clip(np.round(np.asarray(want) * STD + MEAN), 0, 255)
+    got = nifti.load(out / "patient001_2d+1d_sequence.nii.gz").data
+    np.testing.assert_allclose(
+        np.transpose(got[:, :, 0, :], (2, 0, 1))[..., None], want, atol=1e-3
+    )
+
+
+def test_window_workload_duf(served):
+    """MISR nets serve per-center-frame circular windows: served output ==
+    the net applied to each dataset-convention window (train=False with the
+    checkpointed batch_stats)."""
+    root = served["root"]
+    kw = dict(in_channels=1, out_channels=1, num_frames=7, size_filter=5,
+              upscale_factor=2, backbone="_DenseLayer16")
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
+        DUFNet,
+    )
+    net = DUFNet(**kw)
+    variables = net.init(jax.random.PRNGKey(2),
+                         np.zeros((1, 7, 12, 12, 1), np.float32), train=False)
+    ckpt = root / "duf.pth"
+    ckpt_io.save_checkpoint(
+        ckpt, params=variables["params"],
+        model_state={"batch_stats": variables["batch_stats"]},
+    )
+    cfg = root / "duf.yaml"
+    cfg.write_text(yaml.safe_dump({
+        "net": {"name": "DUFNet", "kwargs": kw},
+        "main": {"loaded_path": str(ckpt)},
+    }))
+    out = root / "sr_duf"
+    assert serve.main([str(cfg), "--in", str(served["in"]), "--out", str(out),
+                       "--device", "cpu"]) == 2
+    vol = served["vols"]["patient001_2d+1d_sequence.nii.gz"]
+    T = vol.shape[-1]
+    frames = (np.transpose(vol[:, :, 0:1, :], (3, 0, 1, 2)) - MEAN) / STD
+    # dataset-convention circular 'middle' windows (num_frames 7)
+    wins = np.stack([frames[(np.arange(t - 3, t + 4)) % T] for t in range(T)])
+    want = net.apply(variables, wins, train=False)
+    want = np.clip(np.round(np.asarray(want) * STD + MEAN), 0, 255)
+    got = nifti.load(out / "patient001_2d+1d_sequence.nii.gz").data
+    np.testing.assert_allclose(
+        np.transpose(got[:, :, 0, :], (2, 0, 1))[..., None], want, atol=1e-3
+    )
