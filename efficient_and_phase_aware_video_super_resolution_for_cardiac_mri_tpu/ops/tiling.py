@@ -51,7 +51,7 @@ import math
 
 import numpy as np
 
-__all__ = ["plan_1d", "plan_hw", "tiled_apply"]
+__all__ = ["plan_1d", "tiled_apply"]
 
 
 def plan_1d(size: int, tile: int, overlap: int) -> list[tuple[int, int, int]]:
@@ -98,17 +98,6 @@ def plan_1d(size: int, tile: int, overlap: int) -> list[tuple[int, int, int]]:
         bounds.append((start, lo, hi))
         lo = hi
     return bounds
-
-
-def plan_hw(h: int, w: int, tile_hw, overlap: int):
-    """Cartesian product of the two 1-D plans: a list of
-    ``((hs, h_lo, h_hi), (ws, w_lo, w_hi))`` window entries."""
-    th, tw = tile_hw
-    return [
-        (ph, pw)
-        for ph in plan_1d(h, th, overlap)
-        for pw in plan_1d(w, tw, overlap)
-    ]
 
 
 def _is_spatial(arr: np.ndarray) -> bool:

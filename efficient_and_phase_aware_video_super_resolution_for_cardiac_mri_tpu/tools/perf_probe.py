@@ -985,10 +985,12 @@ def probe_tile_serving(T, HW, dtype, iters, tile=None, overlap=None,
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            # fetch the FULL output, like the tiled arm (serving materializes
-            # SR frames on the host; a checksum-only whole arm made the tiled
-            # overhead look 4x worse through the tunnel than it is)
-            np.asarray(f(variables, xd, pd))
+            # SYMMETRIC serving cost: start from HOST arrays (the tiled arm
+            # uploads its windows from host every call) and fetch the FULL
+            # output (serving materializes SR frames on the host; a
+            # checksum-only pre-uploaded whole arm made the tiled overhead
+            # look 4x worse through the tunnel than it is)
+            np.asarray(f(variables, jnp.asarray(x, dtype), jnp.asarray(pos, dtype)))
             times.append(time.perf_counter() - t0)
         row["whole_ms_per_clip"] = round(float(np.median(times)) * 1e3, 2)
         row["tiled_overhead"] = round(

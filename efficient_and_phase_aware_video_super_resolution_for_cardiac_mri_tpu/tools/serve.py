@@ -132,8 +132,11 @@ def _wrap(core: np.ndarray, U: int, t_bucket: int | None):
     T = core.shape[0]
     Tb = -(-T // t_bucket) * t_bucket if t_bucket else T
     idx = np.arange(Tb) % T
+    # modular indexing BOTH sides: a plain core[T - U:] silently under-fills
+    # the front margin whenever the clip is shorter than U
+    front = np.arange(-U, 0) % T
     back = np.arange(Tb, Tb + U) % T
-    parts = [core[T - U:], core[idx], core[back]] if U else [core[idx]]
+    parts = [core[front], core[idx], core[back]] if U else [core[idx]]
     return np.concatenate(parts, axis=0), T
 
 
@@ -178,8 +181,12 @@ class Server:
             raise SystemExit("no checkpoint: pass --ckpt or set main.loaded_path")
         from ..runner.checkpoint import load_net_variables
 
+        import jax.numpy as jnp
+
         variables = dict(load_net_variables(ckpt, self.net_name))
-        self.variables = jax.tree.map(np.asarray, variables)
+        # device-put ONCE: a numpy weight tree would re-upload every weight
+        # on every jitted call (hundreds of ms/volume through the tunnel)
+        self.variables = jax.tree.map(jnp.asarray, variables)
         LOG.info(f"Loaded {self.net_name} weights from {ckpt}.")
 
         self._build_forward(args)
@@ -229,7 +236,7 @@ class Server:
 
             self.forward = run
         else:
-            self.forward = lambda variables, *inputs: fwd(variables, *inputs)
+            self.forward = fwd
 
     # ------------------------------------------------------------- per-file
     def dispatch(self, src: Path):
@@ -379,9 +386,19 @@ def serve(args) -> int:
     writers = ThreadPoolExecutor(max_workers=2, thread_name_prefix="evsr-write")
     pending: list = []
 
+    failed = [0]
+
     def _finish_one(item):
         outs, true_t, dst, src, t0 = item
-        sr = server.assemble(outs, true_t, out_dtype)
+        try:
+            # jax dispatch is async — a bad volume's device error (OOM,
+            # transfer failure) surfaces HERE at fetch time, not in
+            # dispatch(); it must log, not kill the daemon
+            sr = server.assemble(outs, true_t, out_dtype)
+        except Exception as e:
+            LOG.error(f"{src}: {type(e).__name__}: {e}")
+            failed[0] += 1
+            return
         frames = true_t * len(outs)
 
         def _write():
@@ -419,9 +436,11 @@ def serve(args) -> int:
                     f.result()
                 except Exception as e:
                     LOG.error(f"write failed: {type(e).__name__}: {e}")
-                    total -= 1
-                    served_this_cycle -= 1
+                    failed[0] += 1
             pending.clear()
+            total -= failed[0]
+            served_this_cycle -= failed[0]
+            failed[0] = 0
             if served_this_cycle:
                 busy_sec += time.perf_counter() - cycle_t0
             if not args.watch or stop.is_set():

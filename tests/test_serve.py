@@ -244,3 +244,21 @@ def test_window_workload_duf(served):
     np.testing.assert_allclose(
         np.transpose(got[:, :, 0, :], (2, 0, 1))[..., None], want, atol=1e-3
     )
+
+
+def test_clip_shorter_than_margins_serves_full_length(served):
+    """A cycle SHORTER than num_updated_frames must still serve T frames:
+    the front warm-up margin wraps modularly (a plain core[T-U:] silently
+    under-filled it and truncated the output)."""
+    root = served["root"]
+    in5, out5 = root / "lr_short", root / "sr_short"
+    vol = np.random.default_rng(3).uniform(0, 255, (12, 12, 1, 5)).astype(np.float32)
+    nifti.save(vol, in5 / "patient009_2d+1d_sequence.nii.gz")
+    argv = list(served["argv"])
+    argv[argv.index("--in") + 1] = str(in5)
+    argv[argv.index("--out") + 1] = str(out5)
+    # U=2 < 5 here; also exercise U > T via a 1-frame clip
+    nifti.save(vol[..., :1], in5 / "patient010_2d+1d_sequence.nii.gz")
+    assert serve.main(argv) == 2
+    assert nifti.load(out5 / "patient009_2d+1d_sequence.nii.gz").data.shape == (24, 24, 1, 5)
+    assert nifti.load(out5 / "patient010_2d+1d_sequence.nii.gz").data.shape == (24, 24, 1, 1)
