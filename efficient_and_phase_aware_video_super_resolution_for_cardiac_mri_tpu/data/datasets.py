@@ -26,7 +26,7 @@ import numpy as np
 
 from ..config import DATASETS
 from ..utils import nifti
-from .transforms import compose
+from .transforms import Normalize, compose
 
 
 class _VolumeCache:
@@ -154,6 +154,28 @@ class _SRDatasetBase(BaseDataset):
         if self.temporal_order == "last":
             return t - n + 1, t + 1
         return t - (n - 1) // 2, t + ((n - 1) - (n - 1) // 2) + 1
+
+    def deferrable_normalize(self):
+        """(means, stds) of the pipeline's explicit-stats ``Normalize``, or
+        ``None`` — image-level-stats normalization (``means: null``) depends
+        on each item and cannot move to the device."""
+        for t in self.transforms.transforms:
+            if isinstance(t, Normalize) and t.means is not None:
+                return list(t.means), list(t.stds)
+        return None
+
+    def defer_normalize(self):
+        """Pop the explicit-stats ``Normalize`` off the HOST pipeline and
+        return its (means, stds), so an engine can apply the identical
+        per-channel ``(x - mean) / (std + 1e-10)`` on DEVICE instead
+        (trainer ``int_feed``).  Items then leave ``__getitem__`` in the
+        source intensity scale (integer-valued float32 for the cardiac
+        trees), which the feed can compact losslessly for transfer."""
+        for i, t in enumerate(self.transforms.transforms):
+            if isinstance(t, Normalize) and t.means is not None:
+                self.transforms.transforms.pop(i)
+                return list(t.means), list(t.stds)
+        return None
 
     def _apply(self, imgs: list[np.ndarray], rng: np.random.Generator | None) -> list[np.ndarray]:
         """Augment (train only) then transform a tuple of images."""

@@ -77,6 +77,7 @@ class BaseTrainer:
         compute_dtype: str | None = None,
         grad_accum_steps: int = 1,
         aot_cache: str | None = None,
+        int_feed: bool = False,
     ):
         self.device = device
         self.mesh = mesh
@@ -113,6 +114,18 @@ class BaseTrainer:
         # compile that jax's persistent compilation cache does not avoid on
         # the tunneled backend.  EVSR_AOT_CACHE provides it environment-wide.
         self.aot_cache = aot_cache or os.environ.get("EVSR_AOT_CACHE") or None
+        # TPU extension (no reference counterpart): lossless integer-dtype
+        # device feed.  The datasets' explicit-stats Normalize moves ON
+        # DEVICE (popped off the host pipeline) so batches travel in the
+        # source intensity scale, where the integer-valued HR trees compact
+        # to uint8 — 4x less H2D traffic.  Built for tunneled/remote-host
+        # chips whose upload bandwidth, not compute, bounds the step rate
+        # (PERF_NOTES.md "E2E training ... H2D-upload-bound"); a no-op when
+        # no explicit-stats Normalize exists to defer.
+        self.int_feed = bool(int_feed)
+        self._feed_norm = None
+        if self.int_feed:
+            self._resolve_int_feed()
         self.epoch = 1
         if dataset_stats:
             self.dataset_stats = dataset_stats
@@ -155,10 +168,79 @@ class BaseTrainer:
     def _denorm(self, x):
         return common.denorm_uint8(x, self.mean, self.std)
 
+    # ------------------------------------------------------------- int_feed
+    def _resolve_int_feed(self):
+        """Move the datasets' explicit-stats Normalize on device, if possible.
+
+        Multi-process meshes must all trace the SAME step signature; the
+        feed dtype is data-dependent (per-batch lossless guard), so the knob
+        only engages single-process.
+        """
+        if jax.process_count() > 1:
+            LOG.warning(
+                "int_feed disabled: the compacted feed dtype is data-dependent "
+                "and multi-process traces must agree on one signature."
+            )
+            self.int_feed = False
+            return
+        datasets = [
+            getattr(loader, "dataset", None)
+            for loader in (self.train_dataloader, self.valid_dataloader)
+            if loader is not None
+        ]
+        probes = [
+            ds.deferrable_normalize() if hasattr(ds, "deferrable_normalize") else None
+            for ds in datasets
+        ]
+        if not probes or any(p is None for p in probes):
+            LOG.warning(
+                "int_feed disabled: every dataset needs an explicit-stats "
+                "Normalize transform to defer to the device."
+            )
+            self.int_feed = False
+            return
+        if any(p != probes[0] for p in probes):
+            raise ValueError(
+                f"int_feed: train/valid Normalize stats differ ({probes})."
+            )
+        means, stds = probes[0]
+        for ds in datasets:
+            ds.defer_normalize()
+        # match the host op exactly: numpy computes (std + 1e-10) in python
+        # float64 first, then weak-casts the scalar to the array's float32
+        self._feed_norm = (
+            np.asarray(means, np.float32),
+            np.asarray([np.float64(s) + 1e-10 for s in stds], np.float32),
+        )
+
+    def _feed_normalize(self, batch):
+        """The deferred Normalize, applied on device (f32) to every image
+        key; compact integer feeds cast up exactly first.  Traced into the
+        step functions — and run eagerly once by ``init_params``."""
+        if self._feed_norm is None:
+            return batch
+        means, divs = self._feed_norm
+        out = dict(batch)
+        for k, v in batch.items():
+            if isinstance(k, str) and "img" in k:
+                out[k] = (jnp.asarray(v, jnp.float32) - means) / divs
+        return out
+
+    def _compact_feed(self, batch):
+        """Host side of ``int_feed``: shrink image arrays to uint8/int16 for
+        the transfer when provably lossless (per-batch guard)."""
+        if self._feed_norm is None:
+            return batch
+        return {
+            k: common.compact_lossless(np.asarray(v)) if isinstance(k, str) and "img" in k else v
+            for k, v in batch.items()
+        }
+
     # --------------------------------------------------------------- engine
     def init_params(self, batch, rng_key=None):
         if self.params is not None:
             return
+        batch = self._feed_normalize(batch)
         key = rng_key if rng_key is not None else self.seed_state.jax_key()
         inputs = jax.tree.map(lambda x: jnp.asarray(x), self._model_inputs(batch))
         kwargs = {"train": False} if self._accepts_train else {}
@@ -220,6 +302,7 @@ class BaseTrainer:
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, opt_state, state, batch):
+            batch = self._feed_normalize(batch)  # no-op unless int_feed
             if accum <= 1:
                 (total, (losses, outputs, state)), grads = jax.value_and_grad(
                     forward_losses, has_aux=True
@@ -289,6 +372,7 @@ class BaseTrainer:
 
         @jax.jit
         def eval_step(params, state, batch):
+            batch = self._feed_normalize(batch)  # no-op unless int_feed
             total, (losses, outputs, _) = forward_losses(params, state, batch, False)
             metrics = self._compute_metrics(outputs, batch)
             return total, losses, metrics, self._display_outputs(outputs)
@@ -312,7 +396,7 @@ class BaseTrainer:
         the current step runs on device.  Yields (host_batch, device_batch)."""
         buf = deque()
         for batch in loader:
-            buf.append((batch, shard_batch(self.mesh, batch)))
+            buf.append((batch, shard_batch(self.mesh, self._compact_feed(batch))))
             if len(buf) > lookahead:
                 yield buf.popleft()
         while buf:

@@ -279,6 +279,11 @@ def main(out: Path, data_root: str, models_root: str):
     tpu_train["trainer"]["kwargs"]["aot_cache"] = (
         f"{models_root}/acdc/refine_net/exp1_x4_tpu/aot_cache"
     )
+    # lossless integer-dtype feed: Normalize moves on device, the
+    # integer-valued HR/LR batches upload as uint8 (4x less H2D) — matters
+    # when the chip link, not compute, bounds the step rate (PERF_NOTES
+    # "E2E training ... H2D-upload-bound"); a guarded no-op otherwise
+    tpu_train["trainer"]["kwargs"]["int_feed"] = True
     tpu_train["parallel"] = {"num_devices": 8}
     _dump(tpu_train, out / "train" / "refine_net" / "exp1_x4_tpu.yaml")
     tpu_test = test_config("refine_net", 4, data_root, models_root, suffix="_tpu")
