@@ -14,9 +14,13 @@ quirk 1; it works here).
 from __future__ import annotations
 
 import math
+from typing import NamedTuple
 
 import numpy as np
 import optax
+
+import jax
+import jax.numpy as jnp
 
 from ..config import LR_SCHEDULERS, OPTIMIZERS
 
@@ -51,7 +55,182 @@ def _rmsprop(lr=1e-2, alpha=0.99, eps=1e-8, weight_decay=0.0, momentum=0.0, **_)
     return base
 
 
-_FACTORIES = {"Adam": _adam, "AdamW": _adamw, "SGD": _sgd, "RMSprop": _rmsprop}
+# ---------------------------------------------------------------------------
+# The reference resolves ANY torch.optim class name by reflection
+# (``src/main.py:76``), so the plausibly-nameable single-lr optimizers below
+# are implemented torch-EXACTLY (eps placement, bias correction, and
+# accumulator semantics all differ from optax's variants in ways that change
+# early-step magnitudes by orders of magnitude — e.g. optax's scale_by_rss
+# puts Adagrad's eps inside the sqrt; torch adds it after).  Each is a custom
+# GradientTransformation mirroring torch's _single_tensor_* update rule;
+# trajectory-tested against torch in tests/test_optim_torch_parity.py.
+
+
+class _AdagradState(NamedTuple):
+    count: jnp.ndarray
+    sum_sq: optax.Updates
+
+
+def _adagrad(lr=1e-2, lr_decay=0.0, weight_decay=0.0,
+             initial_accumulator_value=0.0, eps=1e-10, **_):
+    """torch.optim.Adagrad: clr = lr / (1 + (t-1)·lr_decay);
+    p -= clr · g / (sqrt(Σg²) + eps)."""
+
+    def init(params):
+        return _AdagradState(
+            count=jnp.zeros([], jnp.int32),
+            sum_sq=jax.tree.map(
+                lambda p: jnp.full_like(p, initial_accumulator_value), params
+            ),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        sum_sq = jax.tree.map(lambda s, g: s + g * g, state.sum_sq, updates)
+        clr = lr / (1.0 + (count - 1).astype(jnp.float32) * lr_decay)
+        new = jax.tree.map(lambda g, s: -clr * g / (jnp.sqrt(s) + eps), updates, sum_sq)
+        return new, _AdagradState(count, sum_sq)
+
+    tx = optax.GradientTransformation(init, update)
+    if weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+class _AdadeltaState(NamedTuple):
+    square_avg: optax.Updates
+    acc_delta: optax.Updates
+
+
+def _adadelta(lr=1.0, rho=0.9, eps=1e-6, weight_decay=0.0, **_):
+    """torch.optim.Adadelta: v = ρv + (1−ρ)g²; Δ = g·sqrt(u+eps)/sqrt(v+eps);
+    u = ρu + (1−ρ)Δ²; p -= lr·Δ."""
+
+    def init(params):
+        # distinct zero trees: sharing one tree aliases the buffers, and the
+        # trainers' donated train step then donates the same buffer twice
+        return _AdadeltaState(
+            square_avg=jax.tree.map(jnp.zeros_like, params),
+            acc_delta=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        v = jax.tree.map(lambda v, g: rho * v + (1 - rho) * g * g,
+                         state.square_avg, updates)
+        delta = jax.tree.map(
+            lambda g, vi, u: g * jnp.sqrt(u + eps) / jnp.sqrt(vi + eps),
+            updates, v, state.acc_delta,
+        )
+        u = jax.tree.map(lambda u, d: rho * u + (1 - rho) * d * d,
+                         state.acc_delta, delta)
+        new = jax.tree.map(lambda d: -lr * d, delta)
+        return new, _AdadeltaState(square_avg=v, acc_delta=u)
+
+    tx = optax.GradientTransformation(init, update)
+    if weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+class _AdamaxState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def _adamax(lr=2e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0, **_):
+    """torch.optim.Adamax: m = β₁m + (1−β₁)g; u = max(β₂u, |g| + eps) — NOTE
+    torch puts eps inside the max (optax adds it to the denominator instead);
+    p -= lr/(1−β₁ᵗ) · m/u."""
+    b1, b2 = betas
+
+    def init(params):
+        # distinct zero trees — see _adadelta.init (donation aliasing)
+        return _AdamaxState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(
+            lambda u, g: jnp.maximum(b2 * u, jnp.abs(g) + eps), state.nu, updates
+        )
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        new = jax.tree.map(lambda m, u: -(lr / bc1) * m / u, mu, nu)
+        return new, _AdamaxState(count, mu, nu)
+
+    tx = optax.GradientTransformation(init, update)
+    if weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+class _NAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu_product: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def _nadam(lr=2e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
+           momentum_decay=4e-3, **_):
+    """torch.optim.NAdam (Dozat with torch's momentum-decay schedule):
+    μₜ = β₁(1 − ½·0.96^(t·ψ)); the update mixes the raw gradient (weighted by
+    (1−μₜ)/(1−Πμ)) and the momentum (weighted by μₜ₊₁/(1−Πμ·μₜ₊₁)) over
+    denom = sqrt(v/(1−β₂ᵗ)) + eps."""
+    b1, b2 = betas
+    psi = momentum_decay
+
+    def init(params):
+        # distinct zero trees — see _adadelta.init (donation aliasing)
+        return _NAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu_product=jnp.ones([], jnp.float32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        mu_t = b1 * (1.0 - 0.5 * 0.96 ** (t * psi))
+        mu_next = b1 * (1.0 - 0.5 * 0.96 ** ((t + 1.0) * psi))
+        mu_product = state.mu_product * mu_t
+        m = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        v = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        bc2 = 1.0 - b2 ** t
+        w_g = lr * (1.0 - mu_t) / (1.0 - mu_product)
+        w_m = lr * mu_next / (1.0 - mu_product * mu_next)
+        new = jax.tree.map(
+            lambda g, mi, vi: -(w_g * g + w_m * mi) / (jnp.sqrt(vi / bc2) + eps),
+            updates, m, v,
+        )
+        return new, _NAdamState(count, mu_product, m, v)
+
+    tx = optax.GradientTransformation(init, update)
+    if weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+_FACTORIES = {
+    "Adam": _adam, "AdamW": _adamw, "SGD": _sgd, "RMSprop": _rmsprop,
+    "Adagrad": _adagrad, "Adadelta": _adadelta, "Adamax": _adamax, "NAdam": _nadam,
+}
+
+# torch's per-class default lr (used when a config omits ``lr``, mirroring the
+# reference's reflection call with defaulted kwargs)
+_DEFAULT_LR = {
+    "Adam": 1e-3, "AdamW": 1e-3, "SGD": 1e-3, "RMSprop": 1e-2,
+    "Adagrad": 1e-2, "Adadelta": 1.0, "Adamax": 2e-3, "NAdam": 2e-3,
+}
 
 
 def _find_apply_if_finite(state):
@@ -88,7 +267,7 @@ class Optimizer:
         if name not in _FACTORIES:
             raise KeyError(f"Unknown optimizer {name!r}. Available: {sorted(_FACTORIES)}")
         lr = kwargs.pop("lr", None)
-        self.base_lr = 1e-3 if lr is None else float(lr)
+        self.base_lr = _DEFAULT_LR[name] if lr is None else float(lr)
         grad_clip_norm = kwargs.pop("grad_clip_norm", None)
         self.skip_nonfinite = int(kwargs.pop("skip_nonfinite", 0))
         skip_nonfinite = self.skip_nonfinite
