@@ -81,6 +81,12 @@ class DCNPack(nn.Module):
         o1, o2, mask = jnp.split(om, 3, axis=-1)
         offset = jnp.concatenate([o1, o2], axis=-1)
         mask = jax.nn.sigmoid(mask)
+        if self.max_offset is not None:
+            # windowed-DCN exceedance telemetry (ops/telemetry.py): no-op /
+            # dead code unless the caller collects the telemetry collection
+            from ..ops.telemetry import sow_offset_exceedance
+
+            sow_offset_exceedance(self, offset, dg, self.max_offset)
         weight = self.param(
             "weight", torch_conv_kernel_init, (k, k, x.shape[-1], self.nf)
         )

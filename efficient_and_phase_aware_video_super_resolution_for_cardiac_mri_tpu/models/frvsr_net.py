@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..ops.pixel_shuffle import space_to_depth
 from ..ops.resize import upsample_bilinear
+from ..ops.telemetry import exceedance_triple, merge_time_axis, sow_triple
 from ..ops.warp import stn_warp
 from .common import ConvTransposeTorch, conv, pad_to_multiple, xavier_conv_init
 
@@ -150,7 +151,18 @@ class FRVSRNet(nn.Module):
             lr_imgs[:, 0],
             jnp.zeros((B, h * r, w * r, C), lr_imgs.dtype),
         )
-        _, (sr_seq, warped_seq) = scan(carry, lr_imgs)
+        if self.max_flow is None:
+            _, (sr_seq, warped_seq) = scan(carry, lr_imgs)
+        else:
+            # windowed-warp exceedance telemetry (ops/telemetry.py): the
+            # per-step (3,) triples ride out of the scan as stacked outputs
+            # (sow inside nn.scan would need collection plumbing; as plain
+            # outputs they also survive nn.remat), are folded over time here,
+            # and are sowed — a no-op (and XLA dead code) unless the caller
+            # collects the "telemetry" variable collection
+            _, (sr_seq, warped_seq, (tel_sr, tel_lr)) = scan(carry, lr_imgs)
+            sow_triple(self, "sr_flow_window", merge_time_axis(tel_sr))
+            sow_triple(self, "lr_flow_window", merge_time_axis(tel_lr))
         if self.is_prediction:
             return sr_seq
         return sr_seq, warped_seq
@@ -182,4 +194,21 @@ class _FRVSRStep(nn.Module):
         sr = srnet(jnp.concatenate([packed, x], axis=-1))
         warped_lr = stn_warp(lr_last, lr_flow[..., 0], lr_flow[..., 1], "border",
                              max_flow=self.max_flow)
-        return (x, sr), (sr, warped_lr)
+        if self.max_flow is None:
+            return (x, sr), (sr, warped_lr)
+        # exceedance triples vs max_flow in PIXELS: the STN flow is
+        # normalized, pixel displacement = u·W/2, v·H/2 of the warped image
+        # (ops/warp.stn_warp's documented bound) — one triple per warp site,
+        # stacked over time by nn.scan, folded + sowed by FRVSRNet
+        h, w = x.shape[-3], x.shape[-2]
+        tel_sr = exceedance_triple(
+            self.max_flow,
+            jnp.abs(sr_flow[..., 0]) * (w * r / 2.0),
+            jnp.abs(sr_flow[..., 1]) * (h * r / 2.0),
+        )
+        tel_lr = exceedance_triple(
+            self.max_flow,
+            jnp.abs(lr_flow[..., 0]) * (w / 2.0),
+            jnp.abs(lr_flow[..., 1]) * (h / 2.0),
+        )
+        return (x, sr), (sr, warped_lr, (tel_sr, tel_lr))

@@ -11,8 +11,19 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear, upsample_bicubic
+from ..ops.telemetry import sow_exceedance
 from ..ops.warp import flow_warp
 from .common import batch_norm, conv, pad_to_multiple
+
+
+def _sow_flow(module, name, bound, flow):
+    """Windowed-warp exceedance telemetry (ops/telemetry.py): |flow| in
+    pixels vs the ``max_flow`` exactness bound.  No-op (and dead code under
+    jit) unless the caller collects the ``telemetry`` variable collection."""
+    if bound is not None:
+        sow_exceedance(
+            module, name, bound, jnp.abs(flow[..., 0]), jnp.abs(flow[..., 1])
+        )
 
 
 class SpyNetBlock(nn.Module):
@@ -50,6 +61,7 @@ class SpyNet(nn.Module):
         for i in range(4):
             h, w = flow.shape[1] * 2, flow.shape[2] * 2
             flow_up = resize_bilinear(flow, (h, w), align_corners=True) * 2.0
+            _sow_flow(self, "pyramid_flow_window", self.max_flow, flow_up)
             feats = jnp.concatenate(
                 [refs[i], flow_warp(nbrs[i], flow_up, max_flow=self.max_flow), flow_up], axis=-1
             )
@@ -90,6 +102,7 @@ class TOFlowNet(nn.Module):
                 else:
                     nbr = x[:, i]
                     flow = spy(x_ref, nbr, train)
+                    _sow_flow(self, "flow_window", self.max_flow, flow)
                     warped.append(flow_warp(nbr, flow, max_flow=self.max_flow))
         else:
             # eval/serving: ONE batched SpyNet + warp pass over all T-1
@@ -102,6 +115,7 @@ class TOFlowNet(nn.Module):
             flat = nbrs.reshape((B * len(nbr_idx),) + nbrs.shape[2:])
             ref_rep = jnp.repeat(x_ref, len(nbr_idx), axis=0)
             flows = spy(ref_rep, flat, train)
+            _sow_flow(self, "flow_window", self.max_flow, flows)
             warped_flat = flow_warp(flat, flows, max_flow=self.max_flow)
             warped_nbrs = warped_flat.reshape(nbrs.shape)
             warped = []

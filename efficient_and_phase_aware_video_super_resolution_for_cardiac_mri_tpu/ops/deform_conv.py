@@ -255,7 +255,14 @@ def _make_modules():
     import flax.linen as nn
     import jax
 
+    from .telemetry import sow_offset_exceedance
     from .torch_init import torch_conv_kernel_init
+
+    def _sow(mdl, offset):
+        # windowed-DCN exceedance telemetry: no-op (and dead code under jit)
+        # unless the caller collects the "telemetry" variable collection
+        if mdl.max_offset is not None:
+            sow_offset_exceedance(mdl, offset, mdl.deformable_groups, mdl.max_offset)
 
     class DeformConv(nn.Module):
         """DCNv1 with externally-supplied offsets (reference ``:151-198``)."""
@@ -280,6 +287,7 @@ def _make_modules():
                 if self.use_bias
                 else None
             )
+            _sow(self, offset)
             return deform_conv2d(
                 x, offset, weight, bias=bias, stride=self.stride, padding=self.padding,
                 dilation=self.dilation, deformable_groups=self.deformable_groups,
@@ -302,6 +310,7 @@ def _make_modules():
                 if self.use_bias
                 else None
             )
+            _sow(self, offset)
             return modulated_deform_conv2d(
                 x, offset, mask, weight, bias, stride=self.stride, padding=self.padding,
                 dilation=self.dilation, deformable_groups=self.deformable_groups,
@@ -323,6 +332,7 @@ def _make_modules():
             weight = self.param(
                 "weight", torch_conv_kernel_init, (k, k, x.shape[-1], self.features)
             )
+            _sow(self, offset)
             return deform_conv2d(
                 x, offset, weight, stride=self.stride, padding=self.padding,
                 dilation=self.dilation, deformable_groups=dg,
@@ -355,6 +365,7 @@ def _make_modules():
             o1, o2, mask = jnp.split(om, 3, axis=-1)
             offset = jnp.concatenate([o1, o2], axis=-1)
             mask = jax.nn.sigmoid(mask)
+            _sow(self, offset)
             weight = self.param(
                 "weight", torch_conv_kernel_init, (k, k, x.shape[-1], self.features)
             )

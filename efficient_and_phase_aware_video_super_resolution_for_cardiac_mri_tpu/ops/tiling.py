@@ -151,7 +151,7 @@ def _device_crop(win, f_h: int, s_h: int, f_w: int, s_w: int):
     return jax.lax.dynamic_slice(win, starts, sizes)
 
 
-def tiled_apply(tile_fn, inputs, tile_hw, overlap: int):
+def tiled_apply(tile_fn, inputs, tile_hw, overlap: int, seam_stats: bool = False):
     """Run ``tile_fn`` (device fn: full-batch network forward returning ONE
     HR array) over fixed-shape spatial windows of ``inputs`` and stitch the
     owned output cores back together on the host.
@@ -164,6 +164,20 @@ def tiled_apply(tile_fn, inputs, tile_hw, overlap: int):
       compiles once for any input size.
     - ``overlap``: halo width in input pixels (see module docstring for the
       exactness condition).
+    - ``seam_stats``: also MEASURE the tiling approximation on this run.
+      Adjacent windows' fully-valid bands only *touch* at the ownership
+      boundary (plan spacing == core), so no pixel is predicted validly
+      twice by the plan itself; instead, up to two extra PROBE windows per
+      axis are dispatched, each centered on a (middle-most) ownership
+      boundary, and the probe's valid core — rows/cols >= ``overlap`` from
+      its own edges, which straddle the seam — is compared against the
+      stitched output.  Zero when ``overlap`` >= the receptive-field radius
+      (both predictions are exact there); nonzero disagreement is the per-run
+      seam-error measurement the offline "<0.5 dB border-localized"
+      characterization can't give.  Probes reuse the one compiled tile
+      executable (same window shape) and pipeline with the main windows;
+      returns ``(out, {"n_probes", "rms", "max_abs"})`` in ``tile_fn``-output
+      units, or stats=None when the plan has a single window (no seams).
 
     The upscale factor is inferred per axis from the first window's output
     (must divide exactly).  All windows are dispatched before the first
@@ -193,13 +207,40 @@ def tiled_apply(tile_fn, inputs, tile_hw, overlap: int):
     plan_h = plan_1d(h, th, overlap)
     plan_w = plan_1d(w, tw, overlap)
     plan = [(ph, pw) for ph in plan_h for pw in plan_w]
-    outs = []
-    for (hs, _, _), (ws, _, _) in plan:
-        win_args = [
+
+    def _window_args(hs: int, ws: int):
+        return [
             a[..., hs:hs + th, ws:ws + tw, :] if i in spatial else a
             for i, a in enumerate(arrays)
         ]
-        outs.append(tile_fn(*win_args))  # dispatch only; fetch below
+
+    outs = []
+    for (hs, _, _), (ws, _, _) in plan:
+        outs.append(tile_fn(*_window_args(hs, ws)))  # dispatch only; fetch below
+
+    # seam probes: one extra window per sampled ownership boundary, centered
+    # on it (clamped inside the image), at the middle-most cross-axis window
+    # position.  Dispatched here so they pipeline with the main windows.
+    probe_plan: list[tuple[int, int]] = []
+    if seam_stats:
+        h_starts = [p[0] for p in plan_h]
+        w_starts = [p[0] for p in plan_w]
+
+        def _mid(items, cap=2):
+            # the `cap` middle-most entries (the deepest-interior seams)
+            order = sorted(
+                range(len(items)), key=lambda i: abs(i - (len(items) - 1) / 2)
+            )
+            return [items[i] for i in sorted(order[:cap])]
+
+        hs_mid = h_starts[len(h_starts) // 2]
+        ws_mid = w_starts[len(w_starts) // 2]
+        for b in _mid([s + overlap for s in h_starts[1:]]):
+            probe_plan.append((int(np.clip(b - th // 2, 0, h - th)), ws_mid))
+        for b in _mid([s + overlap for s in w_starts[1:]]):
+            probe_plan.append((hs_mid, int(np.clip(b - tw // 2, 0, w - tw))))
+        probe_plan = sorted(set(probe_plan))
+    probe_outs = [tile_fn(*_window_args(phs, pws)) for phs, pws in probe_plan]
 
     first = outs[0]  # shape/dtype are known without a device fetch
     oth, otw = first.shape[-3], first.shape[-2]
@@ -209,6 +250,19 @@ def tiled_apply(tile_fn, inputs, tile_hw, overlap: int):
             f"integer multiple of the tile {th}x{tw}"
         )
     rh, rw = oth // th, otw // tw
+
+    # crop each probe to its valid core on device before fetching (same
+    # halo-discard bandwidth argument as the main windows below)
+    probe_outs = [
+        _device_crop(
+            po,
+            overlap * rh,
+            (th - 2 * overlap) * rh,
+            overlap * rw,
+            (tw - 2 * overlap) * rw,
+        )
+        for po in probe_outs
+    ]
     # Crop every window to (a fixed-size box around) its owned core ON DEVICE
     # before fetching: the stitch never reads the halo pixels, and on
     # remote/tunneled backends the device->host copy of the duplicated halos
@@ -239,6 +293,33 @@ def tiled_apply(tile_fn, inputs, tile_hw, overlap: int):
             ox:ox + (w_hi - w_lo) * rw,
             :,
         ]
+    seam = None
+    if probe_plan:
+        # probe valid core vs the stitched output over the SAME positions
+        # (all owned, hence valid in the exact regime; the probe straddles
+        # the seam the stitch committed to).  Host compare — the probes were
+        # device-cropped above, so the extra fetch is the small cores only.
+        # float32 before subtracting: outputs may be uint8 (serve denorm).
+        sq, n, mx = 0.0, 0, 0.0
+        for (phs, pws), po in zip(probe_plan, probe_outs):
+            pa = np.asarray(po).astype(np.float32)
+            region = out[
+                ...,
+                (phs + overlap) * rh:(phs + th - overlap) * rh,
+                (pws + overlap) * rw:(pws + tw - overlap) * rw,
+                :,
+            ].astype(np.float32)
+            d = pa - region
+            sq += float(np.sum(d * d))
+            n += d.size
+            mx = max(mx, float(np.max(np.abs(d))))
+        seam = {
+            "n_probes": len(probe_plan),
+            "rms": float(np.sqrt(sq / max(n, 1))),
+            "max_abs": mx,
+        }
     if true_hw != (h, w):
         out = out[..., : true_hw[0] * rh, : true_hw[1] * rw, :]
+    if seam_stats:
+        return out, seam
     return out

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PREDICTORS
+from ..ops import telemetry
 from ..parallel import gather_for_compute, partition_tree, shard_batch
 from ..utils.casting import cast_floating
 from ..utils import nifti
@@ -77,6 +78,8 @@ class BasePredictor:
         export_nifti: bool = False,
         tile=None,
         tile_overlap: int | None = None,
+        telemetry: bool = True,
+        telemetry_warn_frac: float = 0.0,
     ):
         self.device = device
         # TPU extension (``ops/tiling.py``): run the network forward on
@@ -167,6 +170,19 @@ class BasePredictor:
         self._step = None
         self.log = None
         self.throughput = {"frames_per_sec": 0.0, "frames": 0}
+        # Windowed-approximation exceedance telemetry (ops/telemetry.py):
+        # ON by default — nets with a max_flow / dcn_max_offset knob publish
+        # per-site [out-of-window count, total, max |displacement|] triples
+        # through the "telemetry" variable collection; nets without the knobs
+        # sow nothing and the collection costs nothing.  Any item whose
+        # out-of-window fraction exceeds ``telemetry_warn_frac`` logs a
+        # warning with the remedy (raise the knob or drop it).
+        self.telemetry = bool(telemetry)
+        self.telemetry_warn_frac = float(telemetry_warn_frac)
+        self.telemetry_summary: dict = {}
+        # per-run tile-seam measurements (tiled serving only; ops/tiling.py
+        # seam_stats) — max over items of the seam rms/max in display units
+        self.seam_summary: dict = {}
 
     # ------------------------------------------------------------- workload
     def _model_inputs(self, batch) -> tuple:
@@ -252,6 +268,8 @@ class BasePredictor:
             self._step = self._build_tiled_step(score_tail)
             return
 
+        collect_tel = self.telemetry
+
         @partial(jax.jit, static_argnums=(4,))
         def step(params, state, batch, masks, out_h):
             # ZeRO-3 gather on model-axis meshes (no-op otherwise)
@@ -262,13 +280,22 @@ class BasePredictor:
                 params = cast_floating(params, cdtype)
                 state = cast_floating(state, cdtype)
                 fwd_batch = cast_floating(batch, cdtype)
-            outputs = apply_fn(
-                {"params": params, **state}, *self._model_inputs(fwd_batch), **kwargs
-            )
+            variables = {"params": params, **state}
+            inputs = self._model_inputs(fwd_batch)
+            if collect_tel:
+                outputs, tel_vars = apply_fn(
+                    variables, *inputs, **kwargs, mutable=["telemetry"]
+                )
+                tel = dict(tel_vars.get("telemetry", {}))
+            else:
+                outputs, tel = apply_fn(variables, *inputs, **kwargs), {}
             if cdtype is not None:
                 outputs = cast_floating(outputs, jnp.float32)
-            return score_tail(
-                self._select_output(outputs), self._targets(batch), masks, out_h
+            return (
+                *score_tail(
+                    self._select_output(outputs), self._targets(batch), masks, out_h
+                ),
+                {"telemetry": tel},
             )
 
         if self.aot_cache:
@@ -295,6 +322,7 @@ class BasePredictor:
         kwargs = {"train": False} if self._accepts_train else {}
         cdtype = self.compute_dtype
         tile_hw, overlap = self._tile, self._tile_overlap
+        collect_tel = self.telemetry
 
         @jax.jit
         def tile_fwd(params, state, *inputs):
@@ -302,9 +330,16 @@ class BasePredictor:
                 params = cast_floating(params, cdtype)
                 state = cast_floating(state, cdtype)
                 inputs = cast_floating(inputs, cdtype)
-            outputs = apply_fn({"params": params, **state}, *inputs, **kwargs)
+            variables = {"params": params, **state}
+            if collect_tel:
+                outputs, tel_vars = apply_fn(
+                    variables, *inputs, **kwargs, mutable=["telemetry"]
+                )
+                tel = dict(tel_vars.get("telemetry", {}))
+            else:
+                outputs, tel = apply_fn(variables, *inputs, **kwargs), {}
             out = self._select_output(outputs)
-            return cast_floating(out, jnp.float32) if cdtype is not None else out
+            return (cast_floating(out, jnp.float32) if cdtype is not None else out), tel
 
         # exposed for tests: the one-executable-for-any-(H, W) contract is
         # observable as _tile_fwd._cache_size() == 1 after mixed-shape serving
@@ -321,13 +356,34 @@ class BasePredictor:
         score = partial(jax.jit, static_argnums=(3,))(score_tail)
 
         def step(params, state, batch, masks, out_h):
-            out = tiled_apply(
-                lambda *a: tile_fwd(params, state, *a),
-                self._model_inputs(batch),
-                tile_hw,
-                overlap,
+            tels = []
+
+            def fwd(*a):
+                out, tel = tile_fwd(params, state, *a)
+                if tel:
+                    tels.append(tel)
+                return out
+
+            inputs = self._model_inputs(batch)
+            if collect_tel:
+                # per-run seam measurement: adjacent windows disagreeing on
+                # their shared overlap bounds the stitched border error
+                out, seam = tiled_apply(
+                    fwd, inputs, tile_hw, overlap, seam_stats=True
+                )
+            else:
+                out, seam = tiled_apply(fwd, inputs, tile_hw, overlap), None
+            # fold per-window triples on device (lazy dispatches, no fetch —
+            # the summary is fetched once per item in finish())
+            tel_acc: dict = {}
+            for t in tels:
+                tel_acc = (
+                    jax.tree.map(telemetry.merge_triples, tel_acc, t) if tel_acc else t
+                )
+            return (
+                *score(out, self._targets(batch), masks, out_h),
+                {"telemetry": tel_acc, "seam": seam},
             )
-            return score(out, self._targets(batch), masks, out_h)
 
         return step
 
@@ -388,7 +444,32 @@ class BasePredictor:
             tunnel — PERF_NOTES).  Export order is preserved: items finish
             strictly in dispatch order, which the SISR GIF assembly relies on."""
             nonlocal frames, count
-            total, losses, metrics, out_d, true_T, patient, sid, filename = item
+            total, losses, metrics, out_d, aux, true_T, patient, sid, filename = item
+            tel = aux.get("telemetry")
+            if tel:
+                # one small fetch per item; warn per item (a single patient
+                # exceeding the window is the actionable event), aggregate
+                # for the run-level summary line
+                item_summary = telemetry.summarize(tel)
+                telemetry.check(
+                    item_summary, self.telemetry_warn_frac, context=filename
+                )
+                telemetry.merge_summaries(self.telemetry_summary, item_summary)
+            seam = aux.get("seam")
+            if seam:
+                # convert the normalized-output deltas to display units (the
+                # denorm is linear: ·std); the "<0.5 dB border-localized"
+                # offline characterization becomes a per-item measurement
+                rms_d = seam["rms"] * float(np.mean(self.std))
+                max_d = seam["max_abs"] * float(np.mean(self.std))
+                s = self.seam_summary
+                s["max_rms"] = max(s.get("max_rms", 0.0), rms_d)
+                s["max_abs"] = max(s.get("max_abs", 0.0), max_d)
+                s["items"] = s.get("items", 0) + 1
+                LOG.info(
+                    f"tile seam [{filename}]: rms={rms_d:.4f} max={max_d:.3f} "
+                    f"(display units, {seam['n_probes']} boundary probes)"
+                )
             # slice padded frames back off (no-op when true_T is None)
             losses = np.asarray(losses)[:true_T]
             metrics = np.asarray(metrics)[:true_T]
@@ -424,10 +505,12 @@ class BasePredictor:
             batch, out_h = self._pad_spatial(batch)
             # the tile path windows the HOST batch (numpy slices) itself
             device_batch = batch if self._tile else shard_batch(self.mesh, batch)
-            total, losses, metrics, out_d = self._step(
+            total, losses, metrics, out_d, tel = self._step(
                 self.params, self.model_state, device_batch, masks, out_h
             )
-            pipe.push((total, losses, metrics, out_d, true_T, patient, sid, filename))
+            pipe.push(
+                (total, losses, metrics, out_d, tel, true_T, patient, sid, filename)
+            )
         pipe.drain()
         elapsed = max(time.perf_counter() - t0, 1e-9)
         self.throughput = {"frames_per_sec": frames / elapsed, "frames": frames}
@@ -437,6 +520,18 @@ class BasePredictor:
             self._finish_nifti()
         for key in log:
             log[key] /= max(count, 1)
+        if self.telemetry_summary:
+            LOG.info(
+                "Windowed-op telemetry: %s.",
+                telemetry.format_summary(self.telemetry_summary),
+            )
+        if self.seam_summary:
+            LOG.info(
+                "Tile seam (run max over %d items): rms=%.4f max=%.3f display units.",
+                self.seam_summary["items"],
+                self.seam_summary["max_rms"],
+                self.seam_summary["max_abs"],
+            )
         LOG.info(f"Test log: {log}.")
         self.log = log
         return log
@@ -463,7 +558,9 @@ class BasePredictor:
         """Restore net weights only (reference ``base_predictor.py:130-136``);
         also accepts genuine PyTorch .pth checkpoints."""
         variables = ckpt_io.load_net_variables(path, type(self.net).__name__)
-        variables = dict(variables)
+        # drop any stale telemetry collection (ops/telemetry.strip): init/
+        # checkpoint-borne triples must not seed the apply-time reduce
+        variables = telemetry.strip(variables)
         self.params = jax.tree.map(jnp.asarray, variables.pop("params", {}))
         self.model_state = jax.tree.map(jnp.asarray, variables)
 
@@ -474,7 +571,9 @@ class BasePredictor:
         key = rng_key if rng_key is not None else jr.PRNGKey(0)
         inputs = jax.tree.map(lambda x: jnp.asarray(x), self._model_inputs(batch))
         kwargs = {"train": False} if self._accepts_train else {}
-        variables = dict(self.net.init(key, *inputs, **kwargs))
+        # init runs the telemetry sows too — strip the stale collection so
+        # it cannot seed the apply-time reduce (ops/telemetry.strip)
+        variables = telemetry.strip(self.net.init(key, *inputs, **kwargs))
         self.params = variables.pop("params", {})
         self.model_state = variables
 

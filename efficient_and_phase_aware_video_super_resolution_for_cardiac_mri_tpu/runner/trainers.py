@@ -228,7 +228,9 @@ class BaseTrainer:
 
     def _compact_feed(self, batch):
         """Host side of ``int_feed``: shrink image arrays to uint8/int16 for
-        the transfer when provably lossless (per-batch guard)."""
+        the transfer when provably lossless (per-batch guard).
+
+        """
         if self._feed_norm is None:
             return batch
         return {
@@ -245,7 +247,11 @@ class BaseTrainer:
         inputs = jax.tree.map(lambda x: jnp.asarray(x), self._model_inputs(batch))
         kwargs = {"train": False} if self._accepts_train else {}
         variables = self.net.init(key, *inputs, **kwargs)
-        variables = dict(variables)
+        # init runs the windowed-op telemetry sows too — keep the stale
+        # collection out of model_state/checkpoints (ops/telemetry.strip)
+        from ..ops.telemetry import strip as _strip_telemetry
+
+        variables = _strip_telemetry(variables)
         # commit to the mesh: params tensor-parallel over the model axis when
         # the mesh has one (kernels sharded on out-features), replicated
         # otherwise; opt_state mirrors the param shapes so the same specs fit

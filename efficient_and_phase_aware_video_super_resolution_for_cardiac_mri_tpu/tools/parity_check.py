@@ -143,26 +143,34 @@ def _build_dataset(net_name: str, args, net_kwargs: dict):
     raise SystemExit(f"Unknown workload {workload!r} for net {net_name!r}.")
 
 
-def _run_ours(net_name: str, model, variables, item, workload):
+def _run_ours(net_name: str, model, variables, item, workload, tel_acc=None):
     import jax
+
+    from ..ops import telemetry
 
     kwargs = {"train": False} if net_name in _NEEDS_TRAIN_FLAG else {}
 
     @jax.jit
     def forward(v, *inputs):
-        out = model.apply(v, *inputs, **kwargs)
+        # collect windowed-knob exceedance telemetry alongside the output
+        # (empty/free for nets without max_flow/dcn_max_offset) — the
+        # parity run is exactly where an out-of-window bound shows up as a
+        # PSNR delta, so the cause ships with the contract number
+        out, tel_vars = model.apply(v, *inputs, **kwargs, mutable=["telemetry"])
         if net_name in ("SRFBNet", "DRFSISRNet", "RefineNet"):
             out = out[-1]
         elif net_name == "FRVSRNet":
             out = out[0]
-        return out
+        return out, dict(tel_vars.get("telemetry", {}))
 
     if workload in ("SISR", "SISRSRFB"):
-        out = forward(variables, item["lr_img"][None])
+        out, tel = forward(variables, item["lr_img"][None])
     elif workload == "VSRRefineNet":
-        out = forward(variables, item["lr_imgs"][None], item["pos_code"][None])
+        out, tel = forward(variables, item["lr_imgs"][None], item["pos_code"][None])
     else:
-        out = forward(variables, item["lr_imgs"][None])
+        out, tel = forward(variables, item["lr_imgs"][None])
+    if tel_acc is not None and tel:
+        telemetry.merge_summaries(tel_acc, telemetry.summarize(tel))
     return np.asarray(out)
 
 
@@ -234,10 +242,11 @@ def main(argv=None):
 
     psnr, ssim = PSNR(), SSIM()
     rows = []
+    tel_acc: dict = {}
     for idx in range(min(len(dataset), args.max_items)):
         item = dataset[idx]
         hr = item["hr_imgs" if "hr_imgs" in item else "hr_img"][None]
-        ours = _run_ours(net_name, model, variables, item, workload)
+        ours = _run_ours(net_name, model, variables, item, workload, tel_acc)
         theirs = _run_reference(net_name, ref, item, workload)
 
         hr_d = np.asarray(denormalize(hr, "acdc"))
@@ -275,6 +284,13 @@ def main(argv=None):
         "contract_0p05db": bool(deltas and max(deltas) <= 0.05),
         "rows": rows,
     }
+    if tel_acc:
+        from ..ops import telemetry
+
+        # the measured bound-validity of the windowed knobs on THIS data —
+        # a nonzero frac_out explains (and caps) the PSNR delta
+        summary["windowed_telemetry"] = tel_acc
+        telemetry.check(tel_acc, warn_frac=0.0, context=f"parity_check --net {net_name}")
     print(json.dumps(summary, indent=1))
     return summary
 

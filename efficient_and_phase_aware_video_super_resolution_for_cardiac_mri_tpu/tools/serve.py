@@ -54,6 +54,7 @@ from pathlib import Path
 import numpy as np
 
 from ..config import NETS, load_config
+from ..ops import telemetry
 from ..utils import nifti
 from ..utils.stats import get_stats
 
@@ -172,6 +173,9 @@ class Server:
         self.mean, self.std = _parse_stats(args.stats)
         self.t_bucket = args.t_bucket
         self.dtype = args.dtype
+        self.telemetry = not getattr(args, "no_telemetry", False)
+        self.telemetry_warn_frac = float(getattr(args, "telemetry_warn_frac", 0.0))
+        self.telemetry_summary: dict = {}
         self.pos_codes = (
             _load_pickle(args.pos_code) if args.pos_code else None
         )
@@ -202,13 +206,23 @@ class Server:
         mean, std = self.mean, self.std
         name = self.net_name
         apply_kwargs = {"train": False} if common.accepts_train_kwarg(net) else {}
+        collect_tel = self.telemetry
 
         @jax.jit
         def fwd(variables, *inputs):
             if dtype:
                 variables = cast_floating(variables, dtype)
                 inputs = cast_floating(inputs, dtype)
-            out = _pick_output(name, net.apply(variables, *inputs, **apply_kwargs))
+            if collect_tel:
+                # windowed-knob exceedance telemetry (ops/telemetry.py);
+                # empty (and free) for nets without max_flow/dcn_max_offset
+                outputs, tel_vars = net.apply(
+                    variables, *inputs, **apply_kwargs, mutable=["telemetry"]
+                )
+                tel = dict(tel_vars.get("telemetry", {}))
+            else:
+                outputs, tel = net.apply(variables, *inputs, **apply_kwargs), {}
+            out = _pick_output(name, outputs)
             # denormalize ON DEVICE and fetch uint8: denorm_uint8 yields exact
             # integers in [0, 255], so the cast is LOSSLESS and the
             # device->host copy (the serving bottleneck on remote backends —
@@ -216,7 +230,7 @@ class Server:
             out = common.denorm_uint8(
                 cast_floating(out, jnp.float32) if dtype else out, mean, std
             )
-            return out.astype(jnp.uint8)
+            return out.astype(jnp.uint8), tel
 
         if args.aot_cache:
             from ..utils import aot
@@ -230,13 +244,39 @@ class Server:
             overlap = args.tile_overlap
 
             def run(variables, *inputs):
-                return tiled_apply(
-                    lambda *a: fwd(variables, *a), inputs, tile, overlap
-                )
+                tels = []
+
+                def tile_fn(*a):
+                    out, tel = fwd(variables, *a)
+                    if tel:
+                        tels.append(tel)
+                    return out
+
+                if collect_tel:
+                    # per-run seam measurement (ops/tiling.py): outputs are
+                    # already denormalized uint8, so the stats are in display
+                    # units directly
+                    out, seam = tiled_apply(
+                        tile_fn, inputs, tile, overlap, seam_stats=True
+                    )
+                else:
+                    out, seam = tiled_apply(tile_fn, inputs, tile, overlap), None
+                tel_acc: dict = {}
+                for t in tels:
+                    tel_acc = (
+                        jax.tree.map(telemetry.merge_triples, tel_acc, t)
+                        if tel_acc else t
+                    )
+                return out, tel_acc, seam
 
             self.forward = run
         else:
-            self.forward = fwd
+
+            def plain(variables, *inputs):
+                out, tel = fwd(variables, *inputs)
+                return out, tel, None
+
+            self.forward = plain
 
     # ------------------------------------------------------------- per-file
     def dispatch(self, src: Path):
@@ -251,7 +291,7 @@ class Server:
         H, W, S, T = vol.shape
         patient = src.name.split(".")[0].split("_")[0]
 
-        outs = []
+        outs, tels, seams = [], [], []
         true_t = T
         for s in range(S):
             raw = vol[:, :, s:s + 1, :]  # (H, W, 1, T)
@@ -276,8 +316,29 @@ class Server:
                 else:
                     idx = np.stack([self._window_idx(int(t), T) for t in centers])
                     inputs = [core[idx]]  # (Tb, N, H, W, 1)
-            outs.append(self.forward(self.variables, *inputs))
-        return outs, true_t
+            out, tel, seam = self.forward(self.variables, *inputs)
+            outs.append(out)
+            if tel:
+                tels.append(tel)
+            if seam:
+                seams.append(seam)
+        # fold per-slice telemetry on device (lazy; fetched once per volume
+        # by the caller's finish step)
+        tel_acc: dict = {}
+        if tels:
+            import jax
+
+            tel_acc = tels[0]
+            for t in tels[1:]:
+                tel_acc = jax.tree.map(telemetry.merge_triples, tel_acc, t)
+        seam_agg = None
+        if seams:
+            seam_agg = {
+                "rms": max(s["rms"] for s in seams),
+                "max_abs": max(s["max_abs"] for s in seams),
+                "n_probes": sum(s["n_probes"] for s in seams),
+            }
+        return outs, tel_acc, seam_agg, true_t
 
     def _window_idx(self, t: int, T: int) -> np.ndarray:
         """Circular [start, end) window indices around center ``t`` —
@@ -389,7 +450,7 @@ def serve(args) -> int:
     failed = [0]
 
     def _finish_one(item):
-        outs, true_t, dst, src, t0 = item
+        outs, tel, seam, true_t, dst, src, t0 = item
         try:
             # jax dispatch is async — a bad volume's device error (OOM,
             # transfer failure) surfaces HERE at fetch time, not in
@@ -399,6 +460,17 @@ def serve(args) -> int:
             LOG.error(f"{src}: {type(e).__name__}: {e}")
             failed[0] += 1
             return
+        tel_note = ""
+        if tel:
+            summary = telemetry.summarize(tel)
+            telemetry.check(summary, server.telemetry_warn_frac, context=src.name)
+            telemetry.merge_summaries(server.telemetry_summary, summary)
+            tel_note = f" [{telemetry.format_summary(summary)}]"
+        if seam:
+            tel_note += (
+                f" [tile seam: rms={seam['rms']:.3f} max={seam['max_abs']:.1f} "
+                f"display units]"
+            )
         frames = true_t * len(outs)
 
         def _write():
@@ -406,7 +478,7 @@ def serve(args) -> int:
             sec = time.perf_counter() - t0
             LOG.info(
                 f"{src.name}: {frames} frames in {sec:.2f}s "
-                f"({frames / sec:.1f} fps) -> {dst}"
+                f"({frames / sec:.1f} fps) -> {dst}{tel_note}"
             )
 
         pending.append(writers.submit(_write))
@@ -423,11 +495,11 @@ def serve(args) -> int:
                     break
                 t0 = time.perf_counter()
                 try:
-                    outs, true_t = server.dispatch(src)
+                    outs, tel, seam, true_t = server.dispatch(src)
                 except Exception as e:  # one bad volume must not kill the daemon
                     LOG.error(f"{src}: {type(e).__name__}: {e}")
                     continue
-                buf.push((outs, true_t, dst, src, t0))
+                buf.push((outs, tel, seam, true_t, dst, src, t0))
                 total += 1
                 served_this_cycle += 1
             buf.drain()
@@ -448,6 +520,11 @@ def serve(args) -> int:
             stop.wait(args.poll)
     finally:
         writers.shutdown(wait=True)
+    if server.telemetry_summary:
+        LOG.info(
+            "Windowed-op telemetry (run aggregate): "
+            f"{telemetry.format_summary(server.telemetry_summary)}."
+        )
     if total and busy_sec:
         # aggregate throughput (per-file lines measure dispatch->write
         # LATENCY, which overlaps across volumes and so overstates cost)
@@ -492,6 +569,13 @@ def _parse_args(argv=None):
     p.add_argument("--watch", action="store_true",
                    help="poll --in for new volumes until SIGTERM/SIGINT")
     p.add_argument("--poll", type=float, default=5.0, help="watch poll seconds")
+    p.add_argument("--no-telemetry", action="store_true",
+                   help="disable windowed-knob exceedance telemetry "
+                        "(ops/telemetry.py; on by default, free for nets "
+                        "without max_flow/dcn_max_offset)")
+    p.add_argument("--telemetry-warn-frac", type=float, default=0.0,
+                   help="warn when a volume's out-of-window sample fraction "
+                        "exceeds this (default: any exceedance warns)")
     return p.parse_args(argv)
 
 
