@@ -230,13 +230,32 @@ class BaseTrainer:
         """Host side of ``int_feed``: shrink image arrays to uint8/int16 for
         the transfer when provably lossless (per-batch guard).
 
-        """
+        bf16 LR wire (the int_feed extension for ``compute_dtype: bfloat16``):
+        float LR inputs that fail the lossless integer guard (the k-space-
+        degraded LR trees are fractional) ship as bfloat16 instead of float32
+        — the forward casts every model input to bf16 anyway
+        (``forward_losses``), so full wire precision is unobservable beyond
+        the rounding point: the shipped value differs from the f32 path's
+        by <= 1 bf16 ulp OF THE INPUT (rounding before the on-device f32
+        Normalize instead of after the cast at compute).  Targets (``hr_*``)
+        are never bf16-compressed — losses compare f32 outputs against f32
+        targets on both paths."""
         if self._feed_norm is None:
             return batch
-        return {
-            k: common.compact_lossless(np.asarray(v)) if isinstance(k, str) and "img" in k else v
-            for k, v in batch.items()
-        }
+        bf16_wire = self.compute_dtype == jnp.bfloat16
+        out = {}
+        for k, v in batch.items():
+            if isinstance(k, str) and "img" in k:
+                v = common.compact_lossless(np.asarray(v))
+                if (
+                    bf16_wire
+                    and "lr" in k
+                    and isinstance(v, np.ndarray)
+                    and v.dtype == np.float32
+                ):
+                    v = v.astype(jnp.bfloat16)
+            out[k] = v
+        return out
 
     # --------------------------------------------------------------- engine
     def init_params(self, batch, rng_key=None):

@@ -101,7 +101,7 @@ def test_image_level_normalize_cannot_defer(tree):
 
 
 # ------------------------------------------------------------------- trainer AB
-def _sisr_trainer(tree, int_feed: bool):
+def _sisr_trainer(tree, int_feed: bool, **kw):
     net = nets.EDSRNet(1, 1, num_resblocks=2, num_features=8, upscale_factor=4)
     loaders = []
     for split in ("train", "valid"):
@@ -118,6 +118,7 @@ def _sisr_trainer(tree, int_feed: bool):
         optimizer=Optimizer("Adam", lr=1e-3),
         num_epochs=2,
         int_feed=int_feed,
+        **kw,
     )
 
 
@@ -145,6 +146,63 @@ def test_int_feed_trainer_matches_host_normalize(tree):
             np.testing.assert_allclose(
                 log_alt[key], log_ref[key], rtol=5e-5, atol=1e-6, err_msg=f"{mode}:{key}"
             )
+
+
+# --------------------------------------------------------------- bf16 LR wire
+@pytest.fixture(scope="module")
+def frac_tree(tmp_path_factory):
+    """Tree whose LR images are FRACTIONAL float32 (like the real k-space-
+    degraded LR trees) — they fail the lossless integer guard and exercise
+    the bf16 wire fallback."""
+    from pathlib import Path
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils import (
+        nifti,
+    )
+
+    tree = make_acdc_tree(tmp_path_factory.mktemp("acdc_frac"), frames=8, hr_size=(32, 32))
+    for split_dir in Path(tree["imgs_dir"]).iterdir():
+        for f in (split_dir / "LR").rglob("*.nii.gz"):
+            img = nifti.load(f)
+            nifti.save(np.asarray(img.data, np.float32) * np.float32(0.7317), f)
+    return tree
+
+
+def test_bf16_lr_wire_under_bf16_compute(frac_tree):
+    """compute_dtype=bfloat16 + int_feed: fractional LR ships bf16 on the
+    wire (the forward casts it to bf16 anyway), integer HR still uint8, and
+    the loss trajectory stays within the bf16 input-rounding envelope of the
+    f32-wire run (<= 1 bf16 ulp per input value, rounded before the on-device
+    normalize instead of after the compute cast)."""
+    import jax.numpy as jnp
+
+    ref = _sisr_trainer(frac_tree, int_feed=False, compute_dtype="bfloat16")
+    alt = _sisr_trainer(frac_tree, int_feed=True, compute_dtype="bfloat16")
+    assert alt._feed_norm is not None
+
+    batch = next(iter(alt.train_dataloader))
+    compact = alt._compact_feed(batch)
+    assert compact["lr_img"].dtype == jnp.bfloat16  # fractional input -> bf16 wire
+    assert compact["hr_img"].dtype == np.uint8  # target NEVER bf16-compressed
+    assert compact["lr_img"].nbytes * 2 == batch["lr_img"].nbytes  # half the bytes
+
+    for mode in ("training", "validation"):
+        log_ref, _, _ = ref._run_epoch(mode)
+        log_alt, _, _ = alt._run_epoch(mode)
+        for key in log_ref:
+            np.testing.assert_allclose(
+                log_alt[key], log_ref[key], rtol=2e-2, atol=2e-2,
+                err_msg=f"{mode}:{key}",
+            )
+
+
+def test_f32_compute_never_ships_bf16(frac_tree):
+    """Without the bf16 compute knob the wire stays full precision — the
+    compression is gated on cast-at-compute making it unobservable."""
+    alt = _sisr_trainer(frac_tree, int_feed=True)
+    batch = next(iter(alt.train_dataloader))
+    compact = alt._compact_feed(batch)
+    assert compact["lr_img"].dtype == np.float32
 
 
 def test_int_feed_disabled_without_deferrable_normalize(caplog):
