@@ -77,24 +77,24 @@ def bench_jax(iters: int = 10, warmup: int = 2, compute_dtype=None) -> dict:
 
     lr_d, pos_d = jax.device_put(lr), jax.device_put(pos)
     # clip FLOPs by XLA's own cost analysis — feeds the analytic V100
-    # roofline.  fp32 only (v100_roofline reads ours_fp32's count; the bf16
-    # pass would recompile for nothing), and the AOT executable is REUSED for
-    # the timed calls below — .compile() here otherwise doubles the 5-10 min
-    # flagship compile through the tunnel on top of the jit dispatch's own.
+    # roofline (fp32 graph) AND makes achieved-TFLOP/s/MFU computable for
+    # the bf16 headline from the artifact alone.  The AOT executable is
+    # REUSED for the timed calls below — .compile() here otherwise doubles
+    # the 5-10 min flagship compile through the tunnel on top of the jit
+    # dispatch's own.
     flops_per_clip = None
-    if compute_dtype is None:
-        try:
-            compiled = forward.lower(variables, lr_d, pos_d).compile()
-            # reuse the executable even if cost_analysis below raises —
-            # otherwise an analysis-less backend would pay the compile TWICE
-            forward = compiled
-            cost = compiled.cost_analysis()
-            if isinstance(cost, list):
-                cost = cost[0]
-            flops = float(cost.get("flops", float("nan")))
-            flops_per_clip = None if np.isnan(flops) else flops
-        except Exception:
-            flops_per_clip = None
+    try:
+        compiled = forward.lower(variables, lr_d, pos_d).compile()
+        # reuse the executable even if cost_analysis below raises —
+        # otherwise an analysis-less backend would pay the compile TWICE
+        forward = compiled
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+        flops_per_clip = None if np.isnan(flops) else flops
+    except Exception:
+        flops_per_clip = None
     _, chk = forward(variables, lr_d, pos_d)
     float(chk)
     for _ in range(warmup):
@@ -131,15 +131,25 @@ def bench_jax(iters: int = 10, warmup: int = 2, compute_dtype=None) -> dict:
         "sec_per_clip_latency": lat_sec,
         "pipeline_depth": pipeline,
         "flops_per_clip": flops_per_clip,
+        # sustained achieved FLOP rate (XLA-counted clip FLOPs / pipelined
+        # clip time) — divide by the chip's peak at this dtype for MFU
+        "achieved_tflops_per_sec": (
+            round(flops_per_clip / thr_sec / 1e12, 3) if flops_per_clip else None
+        ),
         "compute_dtype": str(compute_dtype or "float32"),
         "device": str(jax.devices()[0]),
     }
 
 
-def bench_train(iters: int = 6, warmup: int = 2) -> dict:
+def bench_train(
+    iters: int = 6, warmup: int = 2, remat: bool = False, compute_dtype=None
+) -> dict:
     """Training-protocol step time: batch 16, 32x32 LR patches, 7+2x6 frames,
     full flagship net, L1 stage-discounted loss, Adam (BASELINE.md row
-    'Train protocol')."""
+    'Train protocol').  ``remat``/``compute_dtype`` replicate the TPU
+    showcase-config knobs (per-scan-step remat + bf16 compute with f32
+    masters/loss — the trainer's exact cast points, trainers.py
+    ``forward_losses``)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -147,8 +157,11 @@ def bench_train(iters: int = 6, warmup: int = 2) -> dict:
     from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.models import (
         RefineNet,
     )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.utils.casting import (
+        cast_floating,
+    )
 
-    model = RefineNet(**CFG)
+    model = RefineNet(**CFG, remat=remat)
     rng = np.random.default_rng(0)
     B, TC, HW = 16, 7, 32
     T = TC + 2 * U
@@ -160,7 +173,13 @@ def bench_train(iters: int = 6, warmup: int = 2) -> dict:
     opt_state = tx.init(params)
 
     def loss_fn(p):
-        outs = model.apply({"params": p}, lr, pos)
+        x, px = lr, pos
+        if compute_dtype is not None:
+            p = cast_floating(p, compute_dtype)
+            x, px = cast_floating((x, px), compute_dtype)
+        outs = model.apply({"params": p}, x, px)
+        if compute_dtype is not None:
+            outs = cast_floating(outs, jnp.float32)
         n_stages = len(outs) // 3
         return sum(
             (0.5 ** (n_stages - i // 3 - 1)) * jnp.mean(jnp.abs(o - hr))
@@ -270,6 +289,75 @@ def v100_roofline(ours_fp32: dict, headline_fps: float) -> dict:
     }
 
 
+def _git_head() -> str | None:
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
+#: paths whose changes invalidate a cached train measurement
+_TRAIN_PATHS = [
+    "efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu",
+    "bench.py",
+]
+
+
+def _train_paths_changed_since(commit: str) -> bool | None:
+    """True iff any train-path source differs between ``commit`` and the
+    WORKTREE (committed + uncommitted); None when git can't answer."""
+    try:
+        import subprocess
+
+        r = subprocess.run(
+            ["git", "diff", "--name-only", commit, "--", *_TRAIN_PATHS],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        )
+        if r.returncode != 0:
+            return None
+        return bool(r.stdout.strip())
+    except Exception:
+        return None
+
+
+def _cached_train() -> dict:
+    """Replay the last real train measurement (BENCH_LAST.json) with an
+    honest, diff-based staleness flag."""
+    cached = None
+    if LAST_STAMP.exists():
+        try:
+            cached = json.loads(LAST_STAMP.read_text()).get("detail", {}).get("train")
+        except Exception:
+            cached = None
+    if cached and cached.get("sec_per_step"):
+        commit = str(cached.get("measured_at_commit") or "").split()[0]
+        changed = _train_paths_changed_since(commit) if commit else None
+        cached["note"] = (
+            "cached measurement (BENCH_LAST.json); set EVSR_BENCH_TRAIN=1 to "
+            "remeasure"
+        )
+        # stale iff a train-path source actually changed since the measured
+        # commit; unknown (no git) degrades to stale=True, never silently fresh
+        cached["stale"] = True if changed is None else changed
+        return cached
+    # no real measurement on disk at all — constants from PERF_NOTES, flagged
+    return {
+        "steps_per_sec": 3.46,
+        "batch": 16,
+        "remat_steps_per_sec": 3.85,
+        "remat_bf16_steps_per_sec": 4.50,
+        "note": "PERF_NOTES constants (no stamped measurement found); set "
+        "EVSR_BENCH_TRAIN=1 to measure",
+        "measured_at_commit": "9843fc9 (round 3)",
+        "stale": True,
+    }
+
+
 def _measure() -> dict:
     import os
 
@@ -282,41 +370,29 @@ def _measure() -> dict:
     except Exception as e:
         ours_bf16 = {"error": str(e)[:200]}
     headline = ours_bf16 if ours_bf16.get("frames_per_sec") else ours_fp32
-    # The train-step benchmark doubles compile time; opt in with
-    # EVSR_BENCH_TRAIN=1 (last measured: 3.45-3.6 steps/sec @ batch 16, v5e —
-    # PERF_NOTES.md).
+    # The train-step benchmark triples compile time (plain + showcase
+    # variants); opt in with EVSR_BENCH_TRAIN=1.  Without the flag, the last
+    # REAL measurement is replayed from BENCH_LAST.json, and staleness is
+    # computed honestly: stale iff any train-path source changed since the
+    # commit it was measured at (doc-only commits do not invalidate it).
     if os.environ.get("EVSR_BENCH_TRAIN") == "1":
         try:
             train = bench_train()
+            train["measured_at_commit"] = _git_head()
+            train["stale"] = False
         except Exception as e:  # keep the headline metric robust
             train = {"error": str(e)[:200]}
-    else:
-        measured_at = "9843fc9"
         try:
-            import subprocess
-
-            head = subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
-                capture_output=True, text=True, timeout=10,
-            ).stdout.strip()
-        except Exception:
-            head = None
-        train = {
-            "steps_per_sec": 3.46,
-            "batch": 16,
-            "remat_steps_per_sec": 3.85,
-            "remat_bf16_steps_per_sec": 4.50,
-            "note": "cached measurement; set EVSR_BENCH_TRAIN=1 to remeasure. "
-            "remat(+bf16) rows are the showcase-default knobs (same-process "
-            "A/Bs, perf_probe remat_train: remat +11% f32 AND 0.26x temp "
-            "HBM; bf16+remat 4.50 steps/sec = +30%; gradients bit-identical)",
-            "measured_at_commit": f"{measured_at} (round 3; 3.458 measured "
-            "fresh at this commit, 3.43-3.6 across rounds 2-3, "
-            "fetch-amortized protocol)",
-            # honest-staleness flag: HEAD moved since the measurement, so a
-            # training-path regression after that commit would not show here
-            "stale": bool(head) and not head.startswith(measured_at),
-        }
+            # the TPU showcase-config knobs (per-scan-step remat + bf16
+            # compute, f32 masters/loss) — the rate the *_tpu.yaml train
+            # configs actually run at
+            train["showcase_remat_bf16"] = bench_train(
+                remat=True, compute_dtype="bfloat16"
+            )
+        except Exception as e:
+            train["showcase_remat_bf16"] = {"error": str(e)[:200]}
+    else:
+        train = _cached_train()
     baseline = bench_torch_reference()
     fps = headline["frames_per_sec"]
     vs = fps / baseline["frames_per_sec"] if baseline else None
