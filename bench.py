@@ -335,7 +335,9 @@ def _cached_train() -> dict:
         except Exception:
             cached = None
     if cached and cached.get("sec_per_step"):
-        commit = str(cached.get("measured_at_commit") or "").split()[0]
+        # measured_at_commit may be null/empty (stamped in a git-less tree)
+        parts = str(cached.get("measured_at_commit") or "").split()
+        commit = parts[0] if parts else ""
         changed = _train_paths_changed_since(commit) if commit else None
         cached["note"] = (
             "cached measurement (BENCH_LAST.json); set EVSR_BENCH_TRAIN=1 to "
@@ -450,17 +452,8 @@ def main():
     t.start()
     t.join(timeout=float(os.environ.get("EVSR_BENCH_TIMEOUT", "1500")))
     if out:
-        try:
-            import subprocess
-
-            head = subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
-                capture_output=True, text=True, timeout=10,
-            ).stdout.strip() or None
-        except Exception:
-            head = None
         stamp = dict(out)
-        stamp["measured_at_commit"] = head
+        stamp["measured_at_commit"] = _git_head()
         try:
             LAST_STAMP.write_text(json.dumps(stamp, indent=1))
         except OSError:

@@ -131,26 +131,40 @@ def _walk(tree, prefix, out):
     else:
         # flax sow stores leaves as 1-tuples under the custom reduce_fn too
         vals = tree if isinstance(tree, (tuple, list)) else (tree,)
-        acc = None
-        for v in vals:
-            v = np.asarray(v, np.float32)
-            acc = v if acc is None else np.array(
-                [acc[0] + v[0], acc[1] + v[1], max(acc[2], v[2])], np.float32
-            )
-        if acc is not None:
-            out[prefix] = acc
+        if len(vals):
+            out[prefix] = list(vals)
 
 
 def summarize(telemetry_vars) -> dict[str, dict[str, float]]:
     """Flatten an apply's ``"telemetry"`` collection into per-site stats.
 
     Returns ``{site_path: {"frac_out", "max_abs", "n"}}``; empty dict when
-    the net has no windowed knobs active (nothing sowed).
+    the net has no windowed knobs active (nothing sowed).  All sites' triples
+    are fetched in ONE device→host transfer: a per-leaf ``np.asarray`` costs
+    a full round trip EACH (~33 ms through a tunneled backend — CLAUDE.md),
+    so the (3,) triples are stacked into one (N, 3) device array first.
     """
-    flat: dict[str, np.ndarray] = {}
+    flat: dict[str, list] = {}
     _walk(telemetry_vars or {}, "", flat)
-    out = {}
-    for path, (n_out, n_tot, mx) in flat.items():
+    leaves = [v for vals in flat.values() for v in vals]
+    if not leaves:
+        return {}
+    if any(not isinstance(v, np.ndarray) for v in leaves):
+        stacked = np.asarray(
+            jnp.stack([jnp.asarray(v, jnp.float32) for v in leaves])
+        )
+    else:
+        stacked = np.stack(leaves).astype(np.float32)
+    out, i = {}, 0
+    for path, vals in flat.items():
+        acc = None
+        for _ in vals:
+            v = stacked[i]
+            i += 1
+            acc = v if acc is None else np.array(
+                [acc[0] + v[0], acc[1] + v[1], max(acc[2], v[2])], np.float32
+            )
+        n_out, n_tot, mx = acc
         out[path] = {
             "frac_out": float(n_out / n_tot) if n_tot else 0.0,
             "max_abs": float(mx),

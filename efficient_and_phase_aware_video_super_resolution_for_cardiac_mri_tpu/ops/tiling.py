@@ -151,7 +151,10 @@ def _device_crop(win, f_h: int, s_h: int, f_w: int, s_w: int):
     return jax.lax.dynamic_slice(win, starts, sizes)
 
 
-def tiled_apply(tile_fn, inputs, tile_hw, overlap: int, seam_stats: bool = False):
+def tiled_apply(
+    tile_fn, inputs, tile_hw, overlap: int, seam_stats: bool = False,
+    probe_fn=None,
+):
     """Run ``tile_fn`` (device fn: full-batch network forward returning ONE
     HR array) over fixed-shape spatial windows of ``inputs`` and stitch the
     owned output cores back together on the host.
@@ -178,6 +181,12 @@ def tiled_apply(tile_fn, inputs, tile_hw, overlap: int, seam_stats: bool = False
       executable (same window shape) and pipeline with the main windows;
       returns ``(out, {"n_probes", "rms", "max_abs"})`` in ``tile_fn``-output
       units, or stats=None when the plan has a single window (no seams).
+    - ``probe_fn``: the function to run the PROBE windows through (defaults
+      to ``tile_fn``).  Callers whose ``tile_fn`` accumulates per-window
+      side state (e.g. the predictors' exceedance-telemetry fold) pass a
+      variant without the accumulation here, so probe windows — which
+      re-cover regions the main plan already predicted — don't double-count
+      their samples into per-item statistics.
 
     The upscale factor is inferred per axis from the first window's output
     (must divide exactly).  All windows are dispatched before the first
@@ -240,7 +249,8 @@ def tiled_apply(tile_fn, inputs, tile_hw, overlap: int, seam_stats: bool = False
         for b in _mid([s + overlap for s in w_starts[1:]]):
             probe_plan.append((hs_mid, int(np.clip(b - tw // 2, 0, w - tw))))
         probe_plan = sorted(set(probe_plan))
-    probe_outs = [tile_fn(*_window_args(phs, pws)) for phs, pws in probe_plan]
+    _probe = probe_fn if probe_fn is not None else tile_fn
+    probe_outs = [_probe(*_window_args(phs, pws)) for phs, pws in probe_plan]
 
     first = outs[0]  # shape/dtype are known without a device fetch
     oth, otw = first.shape[-3], first.shape[-2]

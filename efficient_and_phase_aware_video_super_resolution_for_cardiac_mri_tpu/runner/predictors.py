@@ -80,6 +80,7 @@ class BasePredictor:
         tile_overlap: int | None = None,
         telemetry: bool = True,
         telemetry_warn_frac: float = 0.0,
+        seam_stats: bool | str = "first",
     ):
         self.device = device
         # TPU extension (``ops/tiling.py``): run the network forward on
@@ -181,7 +182,19 @@ class BasePredictor:
         self.telemetry_warn_frac = float(telemetry_warn_frac)
         self.telemetry_summary: dict = {}
         # per-run tile-seam measurements (tiled serving only; ops/tiling.py
-        # seam_stats) — max over items of the seam rms/max in display units
+        # seam_stats) — max over measured items of the seam rms/max in
+        # display units.  Probes cost up to 4 extra tile forwards per
+        # measured item (up to 2x the network compute on a 2x2 plan), so the
+        # default "first" probes only the FIRST item of each distinct input
+        # (H, W) — one live measurement per tile plan per run; True probes
+        # every item, False disables.  Independent of ``telemetry`` (which
+        # is free for nets without windowed knobs; seam probes are not).
+        if seam_stats not in (True, False, "first"):
+            raise ValueError(
+                f"seam_stats must be True, False or 'first'; got {seam_stats!r}"
+            )
+        self.seam_stats = seam_stats
+        self._seam_probed_shapes: set = set()
         self.seam_summary: dict = {}
 
     # ------------------------------------------------------------- workload
@@ -364,12 +377,19 @@ class BasePredictor:
                     tels.append(tel)
                 return out
 
+            def probe_fwd(*a):
+                # seam-probe windows re-cover regions the main plan already
+                # predicted — discard their telemetry so per-item exceedance
+                # stats count each sample exactly once
+                return tile_fwd(params, state, *a)[0]
+
             inputs = self._model_inputs(batch)
-            if collect_tel:
+            if self._want_seam(inputs):
                 # per-run seam measurement: adjacent windows disagreeing on
                 # their shared overlap bounds the stitched border error
                 out, seam = tiled_apply(
-                    fwd, inputs, tile_hw, overlap, seam_stats=True
+                    fwd, inputs, tile_hw, overlap,
+                    seam_stats=True, probe_fn=probe_fwd,
                 )
             else:
                 out, seam = tiled_apply(fwd, inputs, tile_hw, overlap), None
@@ -386,6 +406,23 @@ class BasePredictor:
             )
 
         return step
+
+    def _want_seam(self, inputs) -> bool:
+        """Seam-probe policy for this item (``seam_stats`` in __init__):
+        "first" probes the first item of each distinct input (H, W) — the
+        tile plan, hence the seam layout, is a function of that shape."""
+        if self.seam_stats is True:
+            return True
+        if not self.seam_stats:
+            return False
+        hw = next(
+            (tuple(np.asarray(a).shape[-3:-1]) for a in inputs if np.ndim(a) >= 4),
+            None,
+        )
+        if hw is None or hw in self._seam_probed_shapes:
+            return False
+        self._seam_probed_shapes.add(hw)
+        return True
 
     def _frame_losses(self, out, target):
         cols = [fn(out, target) for fn in self.loss_fns]

@@ -176,6 +176,11 @@ class Server:
         self.telemetry = not getattr(args, "no_telemetry", False)
         self.telemetry_warn_frac = float(getattr(args, "telemetry_warn_frac", 0.0))
         self.telemetry_summary: dict = {}
+        # tile-seam probe policy ("first" = one measurement per distinct
+        # input (H, W) per run; probes cost extra tile forwards — see
+        # runner/predictors.py seam_stats)
+        self.seam_stats = getattr(args, "seam_stats", "first")
+        self._seam_probed_shapes: set = set()
         self.pos_codes = (
             _load_pickle(args.pos_code) if args.pos_code else None
         )
@@ -243,6 +248,21 @@ class Server:
             tile = (args.tile, args.tile)
             overlap = args.tile_overlap
 
+            def _want_seam(inputs) -> bool:
+                if self.seam_stats == "all":
+                    return True
+                if self.seam_stats == "off":
+                    return False
+                hw = next(
+                    (tuple(np.asarray(a).shape[-3:-1])
+                     for a in inputs if np.ndim(a) >= 4),
+                    None,
+                )
+                if hw is None or hw in self._seam_probed_shapes:
+                    return False
+                self._seam_probed_shapes.add(hw)
+                return True
+
             def run(variables, *inputs):
                 tels = []
 
@@ -252,12 +272,18 @@ class Server:
                         tels.append(tel)
                     return out
 
-                if collect_tel:
+                def probe_fn(*a):
+                    # probe windows re-cover already-predicted regions —
+                    # discard their telemetry (no double-counting)
+                    return fwd(variables, *a)[0]
+
+                if _want_seam(inputs):
                     # per-run seam measurement (ops/tiling.py): outputs are
                     # already denormalized uint8, so the stats are in display
                     # units directly
                     out, seam = tiled_apply(
-                        tile_fn, inputs, tile, overlap, seam_stats=True
+                        tile_fn, inputs, tile, overlap,
+                        seam_stats=True, probe_fn=probe_fn,
                     )
                 else:
                     out, seam = tiled_apply(tile_fn, inputs, tile, overlap), None
@@ -576,6 +602,12 @@ def _parse_args(argv=None):
     p.add_argument("--telemetry-warn-frac", type=float, default=0.0,
                    help="warn when a volume's out-of-window sample fraction "
                         "exceeds this (default: any exceedance warns)")
+    p.add_argument("--seam-stats", default="first",
+                   choices=["first", "all", "off"],
+                   help="tiled serving only: measure the tile-seam error via "
+                        "boundary-probe windows (extra tile forwards). "
+                        "'first' (default) probes one slice per distinct "
+                        "input (H, W) per run; 'all' probes every slice")
     return p.parse_args(argv)
 
 

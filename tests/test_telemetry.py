@@ -350,3 +350,42 @@ def test_tiled_predictor_reports_seam_summary(caplog):
     assert pred.seam_summary.get("items") == 1
     assert np.isfinite(pred.seam_summary["max_rms"])
     assert [r for r in caplog.records if "tile seam" in r.getMessage()]
+
+def test_tiled_seam_probes_do_not_double_count_telemetry():
+    """Seam-probe windows re-cover regions the main plan already predicted,
+    so their telemetry is discarded (``tiled_apply(probe_fn=...)``): the
+    per-item sample count must be identical with and without seam probing
+    (a probe-polluted count would bias frac_out toward the seam regions)."""
+    items = _frvsr_items(n=1, hw=24)
+    counts = {}
+    for seam in (True, False):
+        pred = _make_frvsr_predictor(
+            items, saturate_flow=True, tile=16, tile_overlap=4, seam_stats=seam
+        )
+        pred.predict()
+        counts[seam] = {
+            site: s["n"] for site, s in pred.telemetry_summary.items()
+        }
+    assert counts[True] and counts[True] == counts[False]
+
+
+def test_seam_stats_first_probes_one_item_per_shape(caplog):
+    """Default policy "first": one seam measurement per distinct input
+    (H, W) per run — the probes cost extra tile forwards, so they must not
+    ride along on every item (nor on the telemetry knob, which is free for
+    knob-less nets)."""
+    items = _frvsr_items(n=3, hw=24)
+    pred = _make_frvsr_predictor(items, saturate_flow=False, tile=16, tile_overlap=4)
+    assert pred.seam_stats == "first"
+    with caplog.at_level(logging.INFO):
+        pred.predict()
+    assert pred.seam_summary.get("items") == 1  # 3 same-shape items, 1 probe
+
+
+def test_seam_stats_off():
+    items = _frvsr_items(n=1, hw=24)
+    pred = _make_frvsr_predictor(
+        items, saturate_flow=False, tile=16, tile_overlap=4, seam_stats=False
+    )
+    pred.predict()
+    assert pred.seam_summary == {}
