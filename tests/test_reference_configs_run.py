@@ -123,26 +123,33 @@ def test_reference_refinenet_yaml_runs_verbatim_with_genuine_pth(tree, tmp_path)
     assert (tmp_path / "out" / "results.csv").exists()  # exported: true in the yaml
 
 
-# Every remaining family's headline test YAML, the flagship's x3/x2 scales,
-# and a DSB15 external-eval YAML — all executed VERBATIM (paths substituted
-# only) from a genuine reference .pth (VERDICT r3 missing #4).
-_VERBATIM_TEST_YAMLS = [
-    "refine_net/exp2_x3",
-    "refine_net/exp3_x2",
-    "refine_net/exp1_x4_dsb15",
-    "edsr_net/exp1_x4",
-    "duf_net/exp1_x4",
-    "toflow_net/exp1_x4",
-    "frvsr_net/exp1_x4",
-    "rbp_net/exp1_x4",
-    "edvr_net/exp1_x4",
-]
+# EVERY reference test YAML executes verbatim (paths substituted only),
+# from a genuine reference .pth where the config names a loaded_path.
+# The list is GLOBBED from the reference tree so a config we silently can't
+# run cannot hide; exclusions:
+#   * example_config — a placeholder template ('MyNet'/'MyDataset'); it does
+#     not run in the reference either,
+#   * bicubic/exp1_x4 + refine_net/exp1_x4 — dedicated tests above with
+#     stronger assertions.
+_DEDICATED = {"bicubic/exp1_x4", "refine_net/exp1_x4"}
+_REF_TEST_DIR = Path("/root/reference/configs/test")
+_VERBATIM_TEST_YAMLS = sorted(
+    p.relative_to(_REF_TEST_DIR).with_suffix("").as_posix()
+    for p in _REF_TEST_DIR.glob("**/*.yaml")
+    if reference_available()
+    and p.stem != "example_config"
+    and p.relative_to(_REF_TEST_DIR).with_suffix("").as_posix() not in _DEDICATED
+)
 
 
 @pytest.mark.parametrize("yaml_rel", _VERBATIM_TEST_YAMLS)
 def test_reference_test_yaml_runs_verbatim(tree, tmp_path, yaml_rel):
     cfg = load_config(f"/root/reference/configs/test/{yaml_rel}.yaml")
-    ckpt = _genuine_pth(cfg, tmp_path / "model_best.pth")
+    # bicubic configs carry no loaded_path (parameterless net)
+    ckpt = (
+        _genuine_pth(cfg, tmp_path / "model_best.pth")
+        if "loaded_path" in cfg.main else None
+    )
     cfg = _patch_paths_only(cfg, tree, tmp_path / "out", loaded_path=ckpt)
     predictor = run_test_config(cfg)
     assert np.isfinite(predictor.log["Loss"])
