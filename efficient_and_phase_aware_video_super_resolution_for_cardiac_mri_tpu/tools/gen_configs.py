@@ -327,6 +327,17 @@ def main(out: Path, data_root: str, models_root: str):
     # bf16 compute (f32 masters/losses): 2.11 vs 1.48 steps/sec measured
     edvr_train_tpu["trainer"]["kwargs"]["compute_dtype"] = "bfloat16"
     _dump(edvr_train_tpu, out / "train" / "edvr_net" / "exp1_x4_tpu.yaml")
+    # RBPN TPU training showcase: the reference batch-16 graph's HLO temp
+    # measures 25.6G — past a v5e chip's 15.75G HBM (XLA OOMs at compile,
+    # measured on the verbatim train YAML) — so the batch runs as 2x8 exact
+    # microbatch accumulation, same remedy as EDVR above.
+    rbp_train_tpu = train_config("rbp_net", 4, data_root, models_root)
+    rbp_train_tpu["main"]["saved_dir"] = (
+        f"{models_root}/acdc/rbp_net/exp1_x4_tpu/train"
+    )
+    rbp_train_tpu["trainer"]["kwargs"]["grad_accum_steps"] = 2
+    rbp_train_tpu["trainer"]["kwargs"]["compute_dtype"] = "bfloat16"
+    _dump(rbp_train_tpu, out / "train" / "rbp_net" / "exp1_x4_tpu.yaml")
     # TOFlow / FRVSR TPU serving showcases: the gather-free windowed warps
     # (max_flow=4 px) — the bilinear GATHER measured ~16x a dense conv on
     # chip, and the windowed path is exact while true flows stay within 4 px
@@ -358,7 +369,7 @@ def main(out: Path, data_root: str, models_root: str):
         aot_cache=f"{models_root}/acdc/refine_net/exp1_x4_tpu/aot_cache",
     )
     _dump(dsb_tile, out / "test" / "refine_net" / "exp1_x4_dsb15_tile_tpu.yaml")
-    count += 7
+    count += 8
     print(f"Wrote {count} configs under {out}.")
 
 

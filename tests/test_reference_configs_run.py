@@ -213,3 +213,55 @@ def test_reference_refinenet_train_yaml_runs_verbatim(tmp_path_factory, tmp_path
     assert np.isfinite(trainer.monitor.best)
     ckpts = list((tmp_path / "out" / "checkpoints").glob("*.pth"))
     assert ckpts, "monitor must have checkpointed"
+
+
+# Every remaining reference TRAIN YAML, globbed like the test configs
+# (example_config is the same placeholder template; refine_net/exp1_x4 has
+# the dedicated test above).
+_REF_TRAIN_DIR = Path("/root/reference/configs/train")
+_VERBATIM_TRAIN_YAMLS = sorted(
+    p.relative_to(_REF_TRAIN_DIR).with_suffix("").as_posix()
+    for p in _REF_TRAIN_DIR.glob("**/*.yaml")
+    if reference_available()
+    and p.stem != "example_config"
+    and p.relative_to(_REF_TRAIN_DIR).with_suffix("").as_posix()
+    != "refine_net/exp1_x4"
+)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("EVSR_VERBATIM_TRAIN"),
+    reason="full-size verbatim training is minutes-to-hours PER FAMILY on "
+    "this 1-core XLA:CPU box; run with EVSR_VERBATIM_TRAIN=1.  The same "
+    "protocol was executed verbatim on the real TPU for every family — "
+    "per-family wall times in docs/FIDELITY.md 'Verbatim train YAMLs on TPU'",
+)
+@pytest.mark.parametrize("yaml_rel", _VERBATIM_TRAIN_YAMLS)
+def test_reference_train_yaml_runs_verbatim(tmp_path_factory, tmp_path, yaml_rel):
+    """Every non-flagship reference TRAIN YAML for 2 epochs on a one-batch
+    tree (1 patient x 1 slice x 16 frames -> exactly one verbatim batch
+    step per epoch; HR = 32*factor so the verbatim 32x32 RandomCropPatch
+    fits).  Non-path substitutions, duration/execution-only as documented
+    in the flagship test above: ``num_epochs`` -> 2 everywhere, and
+    ``grad_accum_steps: 16`` for the flagship-size RefineNet x3/x2 graphs
+    (the XLA:CPU batch-16 compile cliff is the net's size, not its scale
+    factor).  Optimizer, hyperparams, batch size, augments, monitor and
+    logger are the reference's bytes."""
+    factor = int(yaml_rel.rsplit("_x", 1)[1])
+    hr = 32 * factor
+    train_tree = make_acdc_tree(
+        tmp_path_factory.mktemp("acdc_train"), frames=16, hr_size=(hr, hr),
+        patients_per_split=1, slices=1, factors=(factor,),
+    )
+    cfg = load_config(f"/root/reference/configs/train/{yaml_rel}.yaml")
+    cfg = _patch_paths_only(cfg, train_tree, tmp_path / "out")
+    cfg.trainer.kwargs.num_epochs = 2  # documented duration-only override
+    if cfg.net.name == "RefineNet":
+        cfg.trainer.kwargs.grad_accum_steps = 16  # documented execution-only
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.main import (
+        train_from_config,
+    )
+
+    trainer = train_from_config(cfg)
+    assert np.isfinite(trainer.monitor.best)
+    assert list((tmp_path / "out" / "checkpoints").glob("*.pth"))
