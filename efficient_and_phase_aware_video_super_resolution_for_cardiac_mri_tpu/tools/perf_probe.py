@@ -761,6 +761,81 @@ def probe_frvsr_full(T, HW, dtype, iters, n_pipeline=8):
     }
 
 
+def probe_telemetry_cost(T, HW, dtype, iters, n_pipeline=16,
+                         nets=("toflow", "edvr")):
+    """On-chip cost of the windowed-op exceedance telemetry
+    (ops/telemetry.py): the SAME net + params applied with and without
+    ``mutable=["telemetry"]``, pipelined identically, with the stacked
+    triples fetched alongside the output each dispatch — the predictor's
+    serving protocol (runner/predictors.py).  Covers both knob families:
+    TOFlowNet ``max_flow=4`` (flow-warp sites, the exp1_x4_tpu showcase)
+    and EDVRNet ``dcn_max_offset=2`` (DCN offset sites)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import EDVRNet, TOFlowNet
+    from ..ops import telemetry
+
+    rng = np.random.default_rng(0)
+
+    def ab(model, x):
+        v = jax.jit(model.init)(jax.random.PRNGKey(0), x.astype(jnp.float32))
+        v = telemetry.strip(v)
+        v = jax.tree.map(
+            lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, v
+        )
+        f_off = jax.jit(lambda v, x: model.apply(v, x))
+
+        def _on(v, x):
+            y, tel = model.apply(v, x, mutable=[telemetry.COLLECTION])
+            triples = jnp.stack(
+                [jnp.asarray(t, jnp.float32) for t in jax.tree.leaves(tel)]
+            )
+            return y, triples
+
+        f_on = jax.jit(_on)
+
+        def timed(f, fetch):
+            fetch([f(v, x)])  # compile + warm
+            times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                outs = [f(v, x) for _ in range(n_pipeline)]
+                fetch(outs)
+                times.append((time.perf_counter() - t0) / n_pipeline)
+            return float(np.median(times))
+
+        sec_off = timed(f_off, lambda outs: float(sum(jnp.sum(o) for o in outs)))
+        sec_on = timed(
+            f_on, lambda outs: float(sum(jnp.sum(y) + jnp.sum(t) for y, t in outs))
+        )
+        n_sites = int(f_on(v, x)[1].shape[0])
+        return {
+            "off_ms": sec_off * 1e3,
+            "on_ms": sec_on * 1e3,
+            "overhead_frac": sec_on / sec_off - 1.0,
+            "n_sites": n_sites,
+        }
+
+    out = {}
+    if "toflow" in nets:
+        out["toflow_max_flow4"] = ab(
+            TOFlowNet(in_channels=1, out_channels=1, num_frames=7,
+                      upscale_factor=4, max_flow=4),
+            jnp.asarray(rng.standard_normal((1, 7, HW, HW, 1)), dtype),
+        )
+    if "edvr" in nets:
+        out["edvr_dcn_max_offset2"] = ab(
+            EDVRNet(in_channels=1, out_channels=1, nf=128, nframes=5, groups=8,
+                    front_RBs=5, back_RBs=40, dcn_max_offset=2),
+            jnp.asarray(rng.standard_normal((1, 5, HW, HW, 1)), dtype),
+        )
+    rows = list(out.values())
+    out["sec"] = rows[0]["on_ms"] / 1e3
+    out["max_overhead_frac"] = max(r["overhead_frac"] for r in rows)
+    return out
+
+
 def probe_edvr_train(T, HW, dtype, iters, accum=2, batch=16, patch=32):
     """EDVR training at the REFERENCE protocol (batch 16, 32x32 LR patches,
     Charbonnier + Adam) via grad accumulation: the batch-16 backward graph
@@ -1063,6 +1138,7 @@ PROBES = {
     "warp": probe_warp,
     "toflow_full": probe_toflow_full,
     "frvsr_full": probe_frvsr_full,
+    "telemetry_cost": probe_telemetry_cost,
     "zoo_serving": probe_zoo_serving,
     "tile_serving": probe_tile_serving,
     "full": probe_full,

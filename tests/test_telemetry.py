@@ -389,3 +389,23 @@ def test_seam_stats_off():
     )
     pred.predict()
     assert pred.seam_summary == {}
+
+
+@pytest.mark.slow
+def test_perf_probe_telemetry_cost_smoke():
+    """The on-chip cost A/B (PERF_NOTES "Exceedance-telemetry cost") runs:
+    the telemetry-on arm must expose >=1 sow site and both arms must agree
+    on the protocol (TOFlow arm only — the EDVR arm's zoo-size CPU compile
+    is minutes-scale and its telemetry path is covered by the EDVR
+    predictor tests)."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools import (
+        perf_probe,
+    )
+
+    row = perf_probe.probe_telemetry_cost(
+        7, 16, jnp.float32, 1, n_pipeline=1, nets=("toflow",)
+    )
+    tf = row["toflow_max_flow4"]
+    assert tf["n_sites"] >= 1
+    assert tf["on_ms"] > 0 and tf["off_ms"] > 0
+    assert np.isfinite(row["max_overhead_frac"])
