@@ -141,6 +141,9 @@ class BaseTrainer:
         self._train_step = None
         self._eval_step = None
         self.throughput = {"train_steps_per_sec": 0.0, "frames_per_sec": 0.0}
+        # per-epoch train/valid logs, in order — consumed by the verbatim-train
+        # runbook (tools/verbatim_train_tpu.py) and loss-trajectory tests
+        self.history = {"train": [], "valid": []}
 
     # ------------------------------------------------------------- workload
     # Traced (pure) methods each workload overrides.
@@ -542,6 +545,8 @@ class BaseTrainer:
             with trace(f"valid_epoch_{self.epoch}"):
                 valid_log, valid_batch, valid_outputs = self._run_epoch("validation")
             LOG.info(f"Valid log: {valid_log}.")
+            self.history["train"].append(dict(train_log))
+            self.history["valid"].append(dict(valid_log))
 
             if self.lr_scheduler is not None:
                 new_lr = self.lr_scheduler.step(valid_log.get("Loss"))
