@@ -289,6 +289,54 @@ def v100_roofline(ours_fp32: dict, headline_fps: float) -> dict:
     }
 
 
+#: the toolchain stack the PERF_NOTES small-channel rejected-ideas sweep
+#: (int8 / channel-pad / Pallas / unroll / batch / LR-fold, rounds 3-4) last
+#: ran under.  The strict 802 fps roofline bar is closed by an *intrinsic
+#: MXU-tiling* argument measured on THIS stack; a new XLA/libtpu can change
+#: conv tilings for exactly these small-output-channel shapes, so a version
+#: drift re-opens the question instead of silently inheriting the closure.
+PERF_SWEEP_VERSIONS = {"jax": "0.9.0", "jaxlib": "0.9.0", "libtpu": "0.0.34"}
+
+
+def _stack_versions() -> dict:
+    import importlib.metadata as md
+
+    out = {}
+    for pkg in ("jax", "jaxlib", "libtpu"):
+        try:
+            out[pkg] = md.version(pkg)
+        except Exception:
+            out[pkg] = None
+    return out
+
+
+def _perf_stack_check() -> dict:
+    """Version-drift trigger for the strict-bar closure (round-4 verdict #5):
+    records the live stack next to the one the rejected-ideas sweep ran on,
+    and carries an explicit re-probe warning when they differ."""
+    cur = _stack_versions()
+    changed = {
+        k: {"sweep": v, "now": cur.get(k)}
+        for k, v in PERF_SWEEP_VERSIONS.items()
+        if cur.get(k) != v
+    }
+    out = {
+        "stack": cur,
+        "perf_sweep_stack": PERF_SWEEP_VERSIONS,
+        "drifted": bool(changed),
+    }
+    if changed:
+        out["changed"] = changed
+        out["warning"] = (
+            "perf landscape may have moved: the small-channel MXU-tiling "
+            "sweep behind the 802 fps strict-bar closure (PERF_NOTES "
+            "rejected ideas) ran on a different jax/jaxlib/libtpu stack — "
+            "re-run `perf_probe` small-channel probes before trusting the "
+            "closure at this version"
+        )
+    return out
+
+
 def _git_head() -> str | None:
     try:
         import subprocess
@@ -301,10 +349,21 @@ def _git_head() -> str | None:
         return None
 
 
-#: paths whose changes invalidate a cached train measurement
+_PKG = "efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu"
+
+#: paths whose changes invalidate a cached train measurement — the actual
+#: dependency set of the bench_train graph (flagship RefineNet forward +
+#: backward + the cast points), NOT the whole package: eval-only code
+#: (predictors, tiling, telemetry, serving) cannot move the train number and
+#: must not flag it stale (round-4 verdict weak #1).
 _TRAIN_PATHS = [
-    "efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu",
     "bench.py",
+    f"{_PKG}/models/refine_net.py",
+    f"{_PKG}/models/common.py",
+    f"{_PKG}/ops/pallas",
+    f"{_PKG}/ops/pixel_shuffle.py",
+    f"{_PKG}/ops/torch_init.py",
+    f"{_PKG}/utils/casting.py",
 ]
 
 
@@ -395,6 +454,26 @@ def _measure() -> dict:
             train["showcase_remat_bf16"] = {"error": str(e)[:200]}
     else:
         train = _cached_train()
+        if train.get("stale"):
+            # never ship stale: the device is provably reachable (the serving
+            # measurements above just ran), so remeasure instead of replaying
+            # a number the current sources may have invalidated.
+            try:
+                fresh = bench_train()
+                fresh["measured_at_commit"] = _git_head()
+                fresh["stale"] = False
+                fresh["note"] = (
+                    "auto-remeasured: the cached number was stale at this commit"
+                )
+                try:
+                    fresh["showcase_remat_bf16"] = bench_train(
+                        remat=True, compute_dtype="bfloat16"
+                    )
+                except Exception as e:
+                    fresh["showcase_remat_bf16"] = {"error": str(e)[:200]}
+                train = fresh
+            except Exception as e:
+                train["auto_remeasure_error"] = str(e)[:200]
     baseline = bench_torch_reference()
     fps = headline["frames_per_sec"]
     vs = fps / baseline["frames_per_sec"] if baseline else None

@@ -31,6 +31,7 @@ import numpy as np
 import optax
 
 from ..config import TRAINERS
+from ..ops import telemetry
 from ..parallel import gather_for_compute, partition_tree, shard_batch
 from ..utils.casting import cast_floating
 from ..utils.profiling import trace
@@ -78,6 +79,9 @@ class BaseTrainer:
         grad_accum_steps: int = 1,
         aot_cache: str | None = None,
         int_feed: bool = False,
+        telemetry: bool = True,
+        telemetry_warn_frac: float = 0.0,
+        preempt_after_epochs: int = 0,
     ):
         self.device = device
         self.mesh = mesh
@@ -144,6 +148,27 @@ class BaseTrainer:
         # per-epoch train/valid logs, in order — consumed by the verbatim-train
         # runbook (tools/verbatim_train_tpu.py) and loss-trajectory tests
         self.history = {"train": [], "valid": []}
+        # Training-time windowed-approximation telemetry (ops/telemetry.py):
+        # when the net TRAINS with a max_flow / dcn_max_offset knob, an
+        # out-of-window displacement silently changes the learned model (the
+        # reference trains with exact-anywhere sampling —
+        # deform_conv_cuda_kernel.cu:83-188, toflow_net.py:116-138).  The
+        # train step stays telemetry-free (the sows are dead code there; the
+        # backward is the hot path), but every VALIDATION epoch — whose
+        # forward already runs — collects the collection and logs the
+        # per-epoch out-of-window fraction + max displacement, warning with
+        # the same remedy text as the predictors.  Nets without the knobs sow
+        # nothing and pay nothing.
+        self.telemetry = bool(telemetry)
+        self.telemetry_warn_frac = float(telemetry_warn_frac)
+        self.telemetry_summary: dict = {}       # run aggregate across epochs
+        self.telemetry_history: list[dict] = []  # per-valid-epoch summaries
+        # TPU extension (SURVEY §5 failure recovery): epoch-budgeted
+        # self-preemption for scheduled maintenance windows / bounded job
+        # slots — after N epochs THIS RUN, take exactly the SIGTERM
+        # preemption path (checkpoint model_preempted.pth, clean exit);
+        # ``loaded_path: auto`` then resumes the same trajectory.  0 = off.
+        self.preempt_after_epochs = int(preempt_after_epochs)
 
     # ------------------------------------------------------------- workload
     # Traced (pure) methods each workload overrides.
@@ -271,9 +296,7 @@ class BaseTrainer:
         variables = self.net.init(key, *inputs, **kwargs)
         # init runs the windowed-op telemetry sows too — keep the stale
         # collection out of model_state/checkpoints (ops/telemetry.strip)
-        from ..ops.telemetry import strip as _strip_telemetry
-
-        variables = _strip_telemetry(variables)
+        variables = telemetry.strip(variables)
         # commit to the mesh: params tensor-parallel over the model axis when
         # the mesh has one (kernels sharded on out-features), replicated
         # otherwise; opt_state mirrors the param shapes so the same specs fit
@@ -294,7 +317,7 @@ class BaseTrainer:
 
         mesh = self.mesh
 
-        def forward_losses(params, state, batch, training):
+        def forward_losses(params, state, batch, training, collect_tel=False):
             # ZeRO-3 gather point: params live model-axis sharded at rest;
             # compute sees full kernels (see parallel/mesh.py on why convs
             # must not mix spatial halos with feature-sharded kernels)
@@ -310,10 +333,19 @@ class BaseTrainer:
                 fwd_inputs = cast_floating(fwd_inputs, cdtype)
             variables = {"params": params, **state}
             kwargs = {"train": training} if accepts_train else {}
+            tel = {}
             if state and training:
                 outputs, new_state = apply_fn(
                     variables, *fwd_inputs, mutable=list(state.keys()), **kwargs
                 )
+            elif collect_tel:
+                # validation-epoch telemetry: the sows are live here (and
+                # ONLY here on the trainer — the train step never collects)
+                outputs, tel_vars = apply_fn(
+                    variables, *fwd_inputs, mutable=[telemetry.COLLECTION], **kwargs
+                )
+                tel = dict(tel_vars.get(telemetry.COLLECTION, {}))
+                new_state = state
             else:
                 outputs = apply_fn(variables, *fwd_inputs, **kwargs)
                 new_state = state
@@ -324,7 +356,7 @@ class BaseTrainer:
                 new_state = cast_floating(new_state, jnp.float32)
             losses = self._compute_losses(outputs, batch, training)
             total = jnp.sum(jnp.stack(losses) * weights)
-            return total, (losses, outputs, new_state)
+            return total, (losses, outputs, new_state, tel)
 
         accum = self.grad_accum_steps
 
@@ -332,7 +364,7 @@ class BaseTrainer:
         def train_step(params, opt_state, state, batch):
             batch = self._feed_normalize(batch)  # no-op unless int_feed
             if accum <= 1:
-                (total, (losses, outputs, state)), grads = jax.value_and_grad(
+                (total, (losses, outputs, state, _)), grads = jax.value_and_grad(
                     forward_losses, has_aux=True
                 )(params, state, batch, True)
                 metrics = self._compute_metrics(outputs, batch)
@@ -357,7 +389,7 @@ class BaseTrainer:
 
                 def body(carry, mb):
                     state, grads_acc, total_acc, losses_acc, metrics_acc = carry
-                    (total, (losses, outputs, state)), grads = jax.value_and_grad(
+                    (total, (losses, outputs, state, _)), grads = jax.value_and_grad(
                         forward_losses, has_aux=True
                     )(params, state, mb, True)
                     metrics = self._compute_metrics(outputs, mb)
@@ -398,12 +430,16 @@ class BaseTrainer:
                 return params, opt_state, state, total, losses, metrics, outputs
             return params, opt_state, state, total, losses, metrics, self._display_outputs(outputs)
 
+        collect_tel = self.telemetry
+
         @jax.jit
         def eval_step(params, state, batch):
             batch = self._feed_normalize(batch)  # no-op unless int_feed
-            total, (losses, outputs, _) = forward_losses(params, state, batch, False)
+            total, (losses, outputs, _, tel) = forward_losses(
+                params, state, batch, False, collect_tel
+            )
             metrics = self._compute_metrics(outputs, batch)
-            return total, losses, metrics, self._display_outputs(outputs)
+            return total, losses, metrics, self._display_outputs(outputs), tel
 
         if self.aot_cache:
             from ..utils import aot
@@ -439,6 +475,7 @@ class BaseTrainer:
         # step (float()) would sync the pipeline every batch and serialize
         # host and device.  One transfer at epoch end instead.
         acc_total = acc_losses = acc_metrics = None
+        tel_acc: dict = {}
         frames = 0
         t0 = time.perf_counter()
         for batch, device_batch in self._device_prefetch(loader):
@@ -456,9 +493,17 @@ class BaseTrainer:
                     outputs,
                 ) = self._train_step(self.params, self.opt_state, self.model_state, device_batch)
             else:
-                total, losses, metrics, outputs = self._eval_step(
+                total, losses, metrics, outputs, tel = self._eval_step(
                     self.params, self.model_state, device_batch
                 )
+                if tel:
+                    # fold per-batch triples on device (lazy dispatches, no
+                    # fetch); ONE summarize transfer at epoch end
+                    tel_acc = (
+                        jax.tree.map(telemetry.merge_triples, tel_acc, tel)
+                        if tel_acc
+                        else tel
+                    )
             w = float(self._log_weight(batch, mode))
             if acc_total is None:
                 acc_total = total * w
@@ -490,6 +535,21 @@ class BaseTrainer:
             self.throughput["frames_per_sec"] = frames / elapsed
         for key in log:
             log[key] /= max(count, 1)
+        if tel_acc:
+            summary = telemetry.summarize(tel_acc)
+            if summary:
+                telemetry.check(
+                    summary,
+                    self.telemetry_warn_frac,
+                    context=f"valid epoch {self.epoch}",
+                )
+                telemetry.merge_summaries(self.telemetry_summary, summary)
+                self.telemetry_history.append(summary)
+                LOG.info(
+                    "Windowed-op telemetry (valid epoch %d): %s.",
+                    self.epoch,
+                    telemetry.format_summary(summary),
+                )
         return log, batch, outputs
 
     def train(self):
@@ -521,6 +581,7 @@ class BaseTrainer:
                 signal.signal(signal.SIGTERM, prev_handler)
 
     def _train_loop(self):
+        epochs_this_run = 0
         while self.epoch <= self.num_epochs:
             seeds = self.seed_state.np_random_seeds
             while self.epoch - 1 >= len(seeds):
@@ -573,6 +634,17 @@ class BaseTrainer:
             if self.monitor and self.monitor.is_early_stopped():
                 LOG.info("Early stopped.")
                 break
+            epochs_this_run += 1
+            if (
+                self.preempt_after_epochs
+                and epochs_this_run >= self.preempt_after_epochs
+                and self.epoch < self.num_epochs
+            ):
+                LOG.info(
+                    "Epoch budget reached (%d this run): self-preempting.",
+                    epochs_this_run,
+                )
+                self._preempt_requested = True
             if self._preempt_requested:
                 if self.monitor:
                     path = self.monitor.checkpoints_dir / "model_preempted.pth"

@@ -243,6 +243,155 @@ def test_training_path_unaffected_by_telemetry_sows():
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
 
 
+def _make_frvsr_trainer(saturate_flow: bool, **kw):
+    """FRVSR trainer (``max_flow=2``) on random init; ``saturate_flow``
+    pushes the FNet tail bias so tanh saturates and every pixel flow lands
+    far outside the window — the synthetic out-of-window regime reached
+    through the REAL net forward, this time through ``BaseTrainer``'s
+    validation epoch (the train step itself stays telemetry-free)."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import (
+        TRAINERS,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.optim import (
+        Optimizer,
+    )
+
+    rng = np.random.default_rng(11)
+    items = [
+        {
+            "lr_imgs": rng.standard_normal((3, 8, 8, 1)).astype(np.float32),
+            "hr_imgs": rng.standard_normal((3, 32, 32, 1)).astype(np.float32),
+            "index": i,
+        }
+        for i in range(2)
+    ]
+    net = M.FRVSRNet(
+        in_channels=1, out_channels=1, upscale_factor=4, num_resblocks=1, max_flow=2
+    )
+    loader = Dataloader(_Ds(items), batch_size=2, shuffle=False)
+    trainer = TRAINERS.get("AcdcFRVSRTrainer")(
+        train_dataloader=loader,
+        valid_dataloader=loader,
+        net=net,
+        loss_fns=[L.LOSSES.get("L1Loss")()],
+        metric_fns=[ME.METRICS.get("PSNR")()],
+        optimizer=Optimizer("Adam", lr=1e-7),
+        num_epochs=1,
+        **kw,
+    )
+    batch = {
+        "lr_imgs": np.stack([it["lr_imgs"] for it in items]),
+        "hr_imgs": np.stack([it["hr_imgs"] for it in items]),
+        "index": np.asarray([0, 1]),
+    }
+    trainer.init_params(batch)
+    if saturate_flow:
+        params = jax.tree.map(lambda x: x, trainer.params)
+        bias = params["steps"]["fnet"]["tail_conv2"]["bias"]
+        params["steps"]["fnet"]["tail_conv2"]["bias"] = jnp.full_like(bias, 50.0)
+        trainer.params = params
+    return trainer
+
+
+def test_trainer_valid_epoch_telemetry_warns(caplog):
+    """Training WITH a windowed knob is the one regime where an
+    out-of-window displacement silently changes the LEARNED model (the
+    reference trains with exact-anywhere sampling,
+    ``deform_conv_cuda_kernel.cu:83-188``) — so every validation epoch
+    collects the exceedance telemetry and saturated flows must warn through
+    the full ``BaseTrainer.train()`` lifecycle."""
+    trainer = _make_frvsr_trainer(saturate_flow=True)
+    with caplog.at_level(logging.WARNING):
+        trainer.train()
+    warnings = [
+        r for r in caplog.records if "windowed-approximation exceedance" in r.message
+    ]
+    assert warnings, "saturated flows (32/8 px vs max_flow=2) must warn"
+    assert any("valid epoch 1" in r.getMessage() for r in warnings)
+    assert any("max_flow" in r.getMessage() for r in warnings)  # remedy named
+    assert len(trainer.telemetry_history) == 1  # one summary per valid epoch
+    s = trainer.telemetry_history[0]
+    assert s["sr_flow_window"]["frac_out"] > 0.9
+    assert trainer.telemetry_summary["lr_flow_window"]["frac_out"] > 0.9
+
+
+def test_trainer_valid_epoch_telemetry_in_window_no_warn(caplog):
+    trainer = _make_frvsr_trainer(saturate_flow=False)
+    with caplog.at_level(logging.WARNING):
+        trainer.train()
+    assert not [r for r in caplog.records if "exceedance" in r.message]
+    # still collected + published per epoch (the runtime guarantee)
+    assert trainer.telemetry_history
+    assert trainer.telemetry_history[0]["sr_flow_window"]["frac_out"] == 0.0
+    assert trainer.telemetry_history[0]["sr_flow_window"]["n"] > 0
+
+
+def test_trainer_telemetry_opt_out():
+    trainer = _make_frvsr_trainer(saturate_flow=True, telemetry=False)
+    trainer.train()
+    assert trainer.telemetry_summary == {}
+    assert trainer.telemetry_history == []
+
+
+def test_trainer_dcn_offset_telemetry_through_valid_epoch(caplog):
+    """The EDVR training showcase (``configs/train/edvr_net/exp1_x4_tpu.yaml``)
+    trains with ``dcn_max_offset`` — its valid epochs must surface saturated
+    DCN offsets.  Valid-epoch only: the tiny windowed-DCN TRAIN graph
+    compiles pathologically on XLA:CPU (CLAUDE.md), and the train step is
+    telemetry-free by design anyway."""
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.config import (
+        TRAINERS,
+    )
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.runner.optim import (
+        Optimizer,
+    )
+
+    rng = np.random.default_rng(13)
+    items = [
+        {
+            "lr_imgs": rng.standard_normal((3, 16, 16, 1)).astype(np.float32),
+            "hr_img": rng.standard_normal((64, 64, 1)).astype(np.float32),
+            "index": i,
+        }
+        for i in range(2)
+    ]
+    net = M.EDVRNet(
+        in_channels=1, out_channels=1, nf=8, nframes=3, groups=2,
+        front_RBs=1, back_RBs=1, dcn_max_offset=2,
+    )
+    loader = Dataloader(_Ds(items), batch_size=2, shuffle=False)
+    trainer = TRAINERS.get("AcdcMISRTrainer")(
+        train_dataloader=loader,
+        valid_dataloader=loader,
+        net=net,
+        loss_fns=[L.LOSSES.get("L1Loss")()],
+        metric_fns=[ME.METRICS.get("PSNR")()],
+        optimizer=Optimizer("Adam", lr=1e-7),
+        num_epochs=1,
+    )
+    batch = {
+        "lr_imgs": np.stack([it["lr_imgs"] for it in items]),
+        "hr_img": np.stack([it["hr_img"] for it in items]),
+        "index": np.asarray([0, 1]),
+    }
+    trainer.init_params(batch)
+    params = jax.tree.map(lambda v: v, trainer.params)
+    for pack in ("L1_dcnpack", "L2_dcnpack", "L3_dcnpack", "cas_dcnpack"):
+        b = params["pcd_align"][pack]["conv_offset_mask"]["bias"]
+        params["pcd_align"][pack]["conv_offset_mask"]["bias"] = jnp.full_like(b, 10.0)
+    trainer.params = params
+    with caplog.at_level(logging.WARNING):
+        log, _, _ = trainer._run_epoch("validation")
+    assert np.isfinite(log["Loss"])
+    warned = [
+        r for r in caplog.records if "windowed-approximation exceedance" in r.message
+    ]
+    assert warned and any("dcn_max_offset" in r.getMessage() for r in warned)
+    sites = [k for k in trainer.telemetry_summary if k.endswith("dcn_offset_window")]
+    assert len(sites) == 4
+    assert all(trainer.telemetry_summary[s]["frac_out"] == pytest.approx(1.0) for s in sites)
+
+
 def test_serve_daemon_reports_telemetry(tmp_path, caplog):
     """tools/serve.py surfaces per-volume exceedance telemetry: a saturated-
     flow FRVSR checkpoint served on raw LR volumes must warn and print the
