@@ -39,8 +39,16 @@ def main(data_dir: Path, output_dir: Path):
             for series_dir in sorted(patient_dir.glob("*/sax*")):
                 out_dir = output_dir / out_split / patient_dir.name / series_dir.name
                 out_dir.mkdir(parents=True, exist_ok=True)
+                # the reference's exact dcm2niix contract (text notes, no
+                # single-file mode, merge 2D slices, BIDS sidecar without
+                # anonymization, gzip, name by series description —
+                # src/dsb15_dicom2nifty.py:32)
                 subprocess.run(
-                    ["dcm2niix", "-o", str(out_dir), "-z", "y", str(series_dir)],
+                    [
+                        "dcm2niix", "-o", str(out_dir), "-t", "y", "-s", "n",
+                        "-m", "y", "-b", "y", "-ba", "n", "-z", "y",
+                        "-f", "%d", str(series_dir),
+                    ],
                     check=False,
                     capture_output=True,
                 )

@@ -769,7 +769,11 @@ def probe_telemetry_cost(T, HW, dtype, iters, n_pipeline=16,
     triples fetched alongside the output each dispatch — the predictor's
     serving protocol (runner/predictors.py).  Covers both knob families:
     TOFlowNet ``max_flow=4`` (flow-warp sites, the exp1_x4_tpu showcase)
-    and EDVRNet ``dcn_max_offset=2`` (DCN offset sites)."""
+    and EDVRNet ``dcn_max_offset=2`` (DCN offset sites).
+
+    Frame counts are FIXED by each net's protocol (TOFlow window 7, EDVR
+    nframes 5) — the driver-level ``--t`` does not apply and is recorded as
+    such in the returned dict."""
     import jax
     import jax.numpy as jnp
 
@@ -831,8 +835,11 @@ def probe_telemetry_cost(T, HW, dtype, iters, n_pipeline=16,
             jnp.asarray(rng.standard_normal((1, 5, HW, HW, 1)), dtype),
         )
     rows = list(out.values())
+    if not rows:
+        raise ValueError(f"nets must name 'toflow' and/or 'edvr'; got {nets!r}")
     out["sec"] = rows[0]["on_ms"] / 1e3
     out["max_overhead_frac"] = max(r["overhead_frac"] for r in rows)
+    out["protocol_frames"] = {"toflow": 7, "edvr": 5}  # fixed; --t unused here
     return out
 
 
@@ -914,11 +921,22 @@ def probe_zoo_serving(T, HW, dtype, iters, n_pipeline=16):
     import jax
     import jax.numpy as jnp
 
-    from ..models import DRFNet, DUFNet, EDSRNet, RBPNet, SRFBNet
+    from ..models import (
+        DRFNet,
+        DUFNet,
+        EDSRNet,
+        EDVRNet,
+        FRVSRNet,
+        RBPNet,
+        SRFBNet,
+        TOFlowNet,
+    )
+    from ..ops import telemetry
 
     rng = np.random.default_rng(0)
     frame = jnp.asarray(rng.standard_normal((1, HW, HW, 1)), dtype)
     window = jnp.asarray(rng.standard_normal((1, 7, HW, HW, 1)), dtype)
+    window5 = jnp.asarray(rng.standard_normal((1, 5, HW, HW, 1)), dtype)
     seq = jnp.asarray(rng.standard_normal((1, 30, HW, HW, 1)), dtype)
     cases = {
         "edsr": (EDSRNet(in_channels=1, out_channels=1, num_resblocks=32,
@@ -937,6 +955,20 @@ def probe_zoo_serving(T, HW, dtype, iters, n_pipeline=16):
         "drf": (DRFNet(in_channels=1, out_channels=1, num_features=32,
                        num_groups=6, upscale_factor=4),
                 seq, 30, lambda o: o),
+        # the three windowed-knob nets at their showcase configs — their
+        # lowering quality can't be read off FLOPs (round-3 finding), so the
+        # achieved-TFLOP/s column is measured on the ACTUAL windowed serving
+        # graphs (fills the "—" rows in PERF_NOTES "Full zoo serving table")
+        "toflow": (TOFlowNet(in_channels=1, out_channels=1, num_frames=7,
+                             upscale_factor=4, max_flow=4),
+                   window, 1, lambda o: o),
+        "edvr": (EDVRNet(in_channels=1, out_channels=1, nf=128, nframes=5,
+                         groups=8, front_RBs=5, back_RBs=40,
+                         dcn_max_offset=2),
+                 window5, 1, lambda o: o),
+        "frvsr": (FRVSRNet(in_channels=1, out_channels=1, upscale_factor=4,
+                           num_resblocks=10, is_prediction=True, max_flow=4),
+                  seq, 30, lambda o: o),
     }
     import inspect
 
@@ -951,6 +983,9 @@ def probe_zoo_serving(T, HW, dtype, iters, n_pipeline=16):
             v = jax.jit(lambda xx: model.init(jax.random.PRNGKey(0), xx, **kwargs))(
                 x.astype(jnp.float32)
             )
+            # windowed nets sow telemetry at init — keep the stale collection
+            # out of the serving variables (ops/telemetry.strip)
+            v = telemetry.strip(v)
             v = jax.tree.map(
                 lambda a: a.astype(dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, v,
