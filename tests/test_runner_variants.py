@@ -890,3 +890,60 @@ def test_epoch_schedulers_match_torch():
             theirs.step()
             want = opt.param_groups[0]["lr"]
             assert got == pytest.approx(want, rel=1e-9), (type(ours).__name__, epoch)
+
+
+def test_preempt_after_epochs_resumes_trajectory(tmp_path):
+    """Epoch-budgeted self-preemption (``preempt_after_epochs``, the
+    deterministic twin of the SIGTERM handler): after N epochs this run the
+    trainer takes the same preemption path (``model_preempted.pth`` + clean
+    exit), and a resume from that checkpoint continues the uninterrupted
+    run's loss trajectory exactly (params, optimizer, RNG seeds restored).
+    The driver's ``dryrun_multichip`` drives the same flow through
+    ``train_from_config`` over sharded meshes."""
+    rng = np.random.default_rng(7)
+    items = [
+        {
+            "lr_img": rng.standard_normal((8, 8, 1)).astype(np.float32),
+            "hr_img": rng.standard_normal((32, 32, 1)).astype(np.float32),
+            "index": i,
+        }
+        for i in range(4)
+    ]
+
+    def make(saved_dir, **kw):
+        net = nets.EDSRNet(1, 1, num_resblocks=1, num_features=4, upscale_factor=4)
+        return _make_trainer(
+            "AcdcSISRTrainer", net, items, num_epochs=3,
+            monitor=Monitor(checkpoints_dir=saved_dir / "checkpoints",
+                            mode="min", target="Loss", saved_freq=100),
+            **kw,
+        )
+
+    # run A: 3 uninterrupted epochs
+    a = make(tmp_path / "a")
+    a.train()
+    losses_a = [h["Loss"] for h in a.history["train"]]
+    assert len(losses_a) == 3
+    assert not (tmp_path / "a" / "checkpoints" / "model_preempted.pth").exists()
+
+    # run B: same config, self-preempted after epoch 1
+    b = make(tmp_path / "b", preempt_after_epochs=1)
+    b.train()
+    assert len(b.history["train"]) == 1
+    ckpt = tmp_path / "b" / "checkpoints" / "model_preempted.pth"
+    assert ckpt.exists()
+    assert b.history["train"][0]["Loss"] == pytest.approx(losses_a[0], rel=1e-6)
+
+    # resume: epochs 2-3 must continue run A's trajectory
+    b2 = make(tmp_path / "b2")
+    b2.load(ckpt)
+    b2.train()
+    losses_r = [h["Loss"] for h in b2.history["train"]]
+    assert len(losses_r) == 2
+    np.testing.assert_allclose(losses_r, losses_a[1:], rtol=1e-6)
+
+    # budget >= remaining epochs: finishes normally, no preemption artifact
+    c = make(tmp_path / "c", preempt_after_epochs=3)
+    c.train()
+    assert len(c.history["train"]) == 3
+    assert not (tmp_path / "c" / "checkpoints" / "model_preempted.pth").exists()
