@@ -493,6 +493,10 @@ def _measure() -> dict:
             # roofline below, not by a V100 measurement.
             "baseline_kind": "reference-cpu",
             "v100_target": v100_roofline(ours_fp32, fps),
+            # version-drift trigger for the strict-bar closure (BASELINE.md
+            # "Status of the >=2x V100 target"): the live stack vs the one
+            # the small-channel rejected-ideas sweep ran on
+            "perf_stack": _perf_stack_check(),
             "protocol": (
                 f"batch {BATCH}, {CORE_T}+2x{U} frames, "
                 f"{LR_HW}x{LR_HW} LR, x4, {headline.get('compute_dtype', 'float32')} "

@@ -82,6 +82,7 @@ class BaseTrainer:
         telemetry: bool = True,
         telemetry_warn_frac: float = 0.0,
         preempt_after_epochs: int = 0,
+        preempt_after_seconds: float = 0.0,
     ):
         self.device = device
         self.mesh = mesh
@@ -163,12 +164,15 @@ class BaseTrainer:
         self.telemetry_warn_frac = float(telemetry_warn_frac)
         self.telemetry_summary: dict = {}       # run aggregate across epochs
         self.telemetry_history: list[dict] = []  # per-valid-epoch summaries
-        # TPU extension (SURVEY §5 failure recovery): epoch-budgeted
-        # self-preemption for scheduled maintenance windows / bounded job
-        # slots — after N epochs THIS RUN, take exactly the SIGTERM
-        # preemption path (checkpoint model_preempted.pth, clean exit);
-        # ``loaded_path: auto`` then resumes the same trajectory.  0 = off.
+        # TPU extension (SURVEY §5 failure recovery): epoch- or wall-clock-
+        # budgeted self-preemption for scheduled maintenance windows /
+        # bounded job slots — once the budget is hit at an epoch boundary,
+        # take exactly the SIGTERM preemption path (checkpoint
+        # model_preempted.pth, clean exit); ``loaded_path: auto`` then
+        # resumes the same trajectory.  0 = off.  The seconds budget is
+        # checked AFTER each epoch, so size it one epoch short of the slot.
         self.preempt_after_epochs = int(preempt_after_epochs)
+        self.preempt_after_seconds = float(preempt_after_seconds)
 
     # ------------------------------------------------------------- workload
     # Traced (pure) methods each workload overrides.
@@ -582,6 +586,7 @@ class BaseTrainer:
 
     def _train_loop(self):
         epochs_this_run = 0
+        run_t0 = time.perf_counter()
         while self.epoch <= self.num_epochs:
             seeds = self.seed_state.np_random_seeds
             while self.epoch - 1 >= len(seeds):
@@ -635,16 +640,26 @@ class BaseTrainer:
                 LOG.info("Early stopped.")
                 break
             epochs_this_run += 1
-            if (
-                self.preempt_after_epochs
-                and epochs_this_run >= self.preempt_after_epochs
-                and self.epoch < self.num_epochs
-            ):
-                LOG.info(
-                    "Epoch budget reached (%d this run): self-preempting.",
-                    epochs_this_run,
-                )
-                self._preempt_requested = True
+            if self.epoch < self.num_epochs:
+                if (
+                    self.preempt_after_epochs
+                    and epochs_this_run >= self.preempt_after_epochs
+                ):
+                    LOG.info(
+                        "Epoch budget reached (%d this run): self-preempting.",
+                        epochs_this_run,
+                    )
+                    self._preempt_requested = True
+                elif (
+                    self.preempt_after_seconds
+                    and time.perf_counter() - run_t0 >= self.preempt_after_seconds
+                ):
+                    LOG.info(
+                        "Wall-clock budget reached (%.0f s this run): "
+                        "self-preempting.",
+                        time.perf_counter() - run_t0,
+                    )
+                    self._preempt_requested = True
             if self._preempt_requested:
                 if self.monitor:
                     path = self.monitor.checkpoints_dir / "model_preempted.pth"

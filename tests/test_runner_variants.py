@@ -947,3 +947,37 @@ def test_preempt_after_epochs_resumes_trajectory(tmp_path):
     c.train()
     assert len(c.history["train"]) == 3
     assert not (tmp_path / "c" / "checkpoints" / "model_preempted.pth").exists()
+
+
+def test_preempt_after_seconds(tmp_path):
+    """Wall-clock-budgeted self-preemption: any positive budget smaller than
+    one epoch's wall time preempts at the first epoch boundary (the check
+    runs after each epoch); a generous budget finishes the run."""
+    rng = np.random.default_rng(8)
+    items = [
+        {
+            "lr_img": rng.standard_normal((8, 8, 1)).astype(np.float32),
+            "hr_img": rng.standard_normal((32, 32, 1)).astype(np.float32),
+            "index": i,
+        }
+        for i in range(2)
+    ]
+
+    def make(saved_dir, **kw):
+        net = nets.EDSRNet(1, 1, num_resblocks=1, num_features=4, upscale_factor=4)
+        return _make_trainer(
+            "AcdcSISRTrainer", net, items, num_epochs=3,
+            monitor=Monitor(checkpoints_dir=saved_dir / "checkpoints",
+                            mode="min", target="Loss", saved_freq=100),
+            **kw,
+        )
+
+    t = make(tmp_path / "tight", preempt_after_seconds=1e-6)
+    t.train()
+    assert len(t.history["train"]) == 1
+    assert (tmp_path / "tight" / "checkpoints" / "model_preempted.pth").exists()
+
+    g = make(tmp_path / "generous", preempt_after_seconds=3600.0)
+    g.train()
+    assert len(g.history["train"]) == 3
+    assert not (tmp_path / "generous" / "checkpoints" / "model_preempted.pth").exists()
