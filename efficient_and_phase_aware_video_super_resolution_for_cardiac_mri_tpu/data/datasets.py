@@ -217,7 +217,7 @@ class MISRDataset(_SRDatasetBase):
     def __init__(self, *args, num_frames=5, temporal_order="middle", **kwargs):
         super().__init__(*args, **kwargs)
         if temporal_order not in ("last", "middle"):
-            raise ValueError(f"The temporal order should be 'last' or 'middle'. Got {temporal_order}.")
+            raise ValueError(f"temporal_order must be 'last' or 'middle'; got {temporal_order}.")
         self.num_frames = num_frames
         self.temporal_order = temporal_order
         self.data = []
@@ -247,7 +247,7 @@ class VSRDataset(_SRDatasetBase):
     def __init__(self, *args, num_frames=5, temporal_order="last", **kwargs):
         super().__init__(*args, **kwargs)
         if temporal_order not in ("last", "middle"):
-            raise ValueError(f"The temporal order should be 'last' or 'middle'. Got {temporal_order}.")
+            raise ValueError(f"temporal_order must be 'last' or 'middle'; got {temporal_order}.")
         self.num_frames = num_frames
         self.temporal_order = temporal_order
         pairs = self._paired_paths()

@@ -46,10 +46,10 @@ class BaseTransform:
     @staticmethod
     def _check_ndim(imgs):
         if not all(isinstance(img, np.ndarray) for img in imgs):
-            raise TypeError("All of the images should be numpy.ndarray.")
+            raise TypeError("every image entering this transform must be a numpy.ndarray")
         if not all(img.ndim == 3 for img in imgs) and not all(img.ndim == 4 for img in imgs):
             raise ValueError(
-                "All of the images' dimensions should be 3 (2D images) or 4 (3D images)."
+                "every image must be rank 3 (2D: H, W, C) or rank 4 (3D: H, W, D, C)"
             )
 
     @staticmethod
@@ -83,7 +83,7 @@ class ToTensor(BaseTransform):
 
     def __call__(self, *imgs, dtypes=None, **kwargs):
         if not all(isinstance(img, np.ndarray) for img in imgs):
-            raise TypeError("All of the images should be numpy.ndarray.")
+            raise TypeError("every image entering this transform must be a numpy.ndarray")
         if dtypes:
             if len(dtypes) != len(imgs):
                 raise ValueError("The number of the dtypes should be the same as the images.")
@@ -106,12 +106,12 @@ class Normalize(BaseTransform):
 
     def __call__(self, *imgs, normalize_tags=None, **kwargs):
         if not all(isinstance(img, np.ndarray) for img in imgs):
-            raise TypeError("All of the images should be numpy.ndarray.")
+            raise TypeError("every image entering this transform must be a numpy.ndarray")
         if normalize_tags:
             if len(normalize_tags) != len(imgs):
                 raise ValueError("The number of the tags should be the same as the images.")
             if not all(tag in (True, False) for tag in normalize_tags):
-                raise ValueError("All of the tags should be either True or False.")
+                raise ValueError("normalize_tags must be booleans (True to normalize, False to pass through).")
         else:
             normalize_tags = [None] * len(imgs)
 

@@ -89,7 +89,7 @@ class SSIM(Metric):
 
     def __init__(self, dim: int = 2, channels: int = 1, size_average: bool = True, value_range: int = 255):
         if dim not in (2, 3):
-            raise ValueError(f"Only dim=2, 3 are supported. Received dim={dim}.")
+            raise ValueError(f"SSIM supports dim=2 or dim=3; got dim={dim}.")
         self.dim = dim
         self.channels = channels
         self.size_average = size_average

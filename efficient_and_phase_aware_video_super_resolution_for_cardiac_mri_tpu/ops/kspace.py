@@ -48,9 +48,9 @@ class Downscale:
 
     def __call__(self, *imgs: np.ndarray) -> tuple[np.ndarray, ...]:
         if not all(isinstance(img, np.ndarray) for img in imgs):
-            raise TypeError("All of the images should be numpy.ndarray.")
+            raise TypeError("every image entering the k-space degradation must be a numpy.ndarray")
         if not all(img.ndim == 3 for img in imgs):
-            raise ValueError("All of the images' dimensions should be 3 (2D images).")
+            raise ValueError("k-space degradation expects 2D images as (H, W, C) arrays (got a different rank).")
         out = []
         for img in imgs:
             k = img_to_kspace(img)
