@@ -24,6 +24,18 @@ Usage (from the repo root, real chip attached)::
 Prints ONE JSON line: {"yaml", "wall_sec", "monitor_best", "train_losses",
 "valid_losses", "checkpoints", "grad_accum_steps", "epochs"}.
 
+Sweep mode — the runbook that produced ``VERBATIM_TRAIN_r05.jsonl``::
+
+    python -m ....tools.verbatim_train_tpu --all --out VERBATIM_TRAIN.jsonl
+
+runs EVERY reference train YAML (``configs/train/**`` minus the placeholder
+``example_config``) in a fresh subprocess each (one run's device state can't
+leak into the next), appends one JSON line per YAML to ``--out``, skips
+YAMLs already present there (resumable), and on failure retries once with
+``--grad-accum 2`` — the documented execution-only substitution for graphs
+that exceed the chip's HBM or the remote-compile helper (rbp/edvr x4 and
+rbp x3 in practice).
+
 The gated CPU twin is
 ``tests/test_reference_configs_run.py::test_reference_train_yaml_runs_verbatim``
 (same substitutions; hours per family on the 1-core XLA:CPU box).
@@ -109,14 +121,83 @@ def run_one(yaml_rel: str, epochs: int, grad_accum: int, workdir: str | None) ->
     }
 
 
+def reference_train_yamls() -> list[str]:
+    """Every runnable reference train YAML, family/exp order."""
+    root = Path("/root/reference/configs/train")
+    return sorted(
+        f"{p.parent.name}/{p.stem}"
+        for p in root.glob("*/*.yaml")
+    )
+
+
+def run_all(out_path: str, epochs: int, timeout_sec: int) -> int:
+    """Sweep every reference train YAML in fresh subprocesses, appending one
+    JSON evidence line per YAML to ``out_path``; resumable (YAMLs already in
+    the file are skipped); native batch first, one ``--grad-accum 2`` retry.
+    Returns the number of failures."""
+    import subprocess
+    import sys
+
+    out = Path(out_path)
+    done = set()
+    if out.exists():
+        for line in out.read_text().splitlines():
+            try:
+                done.add(json.loads(line)["yaml"])
+            except Exception:
+                pass
+    failures = 0
+    for yaml_rel in reference_train_yamls():
+        if yaml_rel in done:
+            print(f"skip {yaml_rel} (already in {out})", file=sys.stderr)
+            continue
+        for extra in ([], ["--grad-accum", "2"]):
+            cmd = [
+                sys.executable, "-m",
+                "efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu"
+                ".tools.verbatim_train_tpu",
+                yaml_rel, "--epochs", str(epochs), *extra,
+            ]
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=timeout_sec
+                )
+            except subprocess.TimeoutExpired:
+                print(f"TIMEOUT {yaml_rel} {extra}", file=sys.stderr)
+                continue
+            if proc.returncode == 0 and proc.stdout.strip():
+                with out.open("a") as f:
+                    f.write(proc.stdout.strip().splitlines()[-1] + "\n")
+                print(f"ok {yaml_rel} {extra or '(native batch)'}", file=sys.stderr)
+                break
+            print(
+                f"fail {yaml_rel} {extra}: {proc.stderr.strip().splitlines()[-1:] }",
+                file=sys.stderr,
+            )
+        else:
+            failures += 1
+    return failures
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("yaml_rel", help="e.g. duf_net/exp2_x3")
+    ap.add_argument("yaml_rel", nargs="?", help="e.g. duf_net/exp2_x3")
+    ap.add_argument("--all", action="store_true",
+                    help="sweep every reference train YAML (fresh subprocess "
+                         "each, resumable via --out, grad-accum-2 retry)")
+    ap.add_argument("--out", default="VERBATIM_TRAIN.jsonl",
+                    help="evidence file for --all (one JSON line per YAML)")
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--grad-accum", type=int, default=0,
                     help="grad_accum_steps (0 = native batch)")
+    ap.add_argument("--timeout", type=int, default=5400,
+                    help="per-run subprocess timeout for --all (seconds)")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args(argv)
+    if args.all:
+        raise SystemExit(run_all(args.out, args.epochs, args.timeout))
+    if not args.yaml_rel:
+        ap.error("yaml_rel is required unless --all is given")
     print(json.dumps(run_one(args.yaml_rel, args.epochs, args.grad_accum, args.workdir)))
 
 

@@ -265,3 +265,29 @@ def test_reference_train_yaml_runs_verbatim(tmp_path_factory, tmp_path, yaml_rel
     trainer = train_from_config(cfg)
     assert np.isfinite(trainer.monitor.best)
     assert list((tmp_path / "out" / "checkpoints").glob("*.pth"))
+
+
+def test_verbatim_train_sweep_listing_and_skip(tmp_path):
+    """The --all sweep runner behind VERBATIM_TRAIN_r05.jsonl: lists every
+    runnable reference train YAML (17, example_config excluded) and skips
+    YAMLs already present in the evidence file (resumable — a fully
+    populated file means zero subprocess launches)."""
+    import json
+
+    from efficient_and_phase_aware_video_super_resolution_for_cardiac_mri_tpu.tools.verbatim_train_tpu import (
+        reference_train_yamls,
+        run_all,
+    )
+
+    yamls = reference_train_yamls()
+    assert len(yamls) == 17
+    assert all("example_config" not in y for y in yamls)
+    assert {y.rsplit("/", 1)[0] for y in yamls} == {
+        "duf_net", "edsr_net", "edvr_net", "frvsr_net",
+        "rbp_net", "refine_net", "toflow_net",
+    }
+
+    out = tmp_path / "evidence.jsonl"
+    out.write_text("".join(json.dumps({"yaml": y}) + "\n" for y in yamls))
+    assert run_all(str(out), epochs=2, timeout_sec=1) == 0  # nothing to run
+    assert len(out.read_text().splitlines()) == 17  # untouched
