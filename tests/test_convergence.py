@@ -124,6 +124,28 @@ def _test_cfg(phantom, saved_dir, net, loaded_path=None):
     return Cfg(cfg)
 
 
+def test_phantom_pipeline_recovers_ground_truth(phantom):
+    """The REAL tools recover the phantom's known physiology: the Otsu
+    end-systole search lands on the generator's true end-systole (0.4·T →
+    frame 5 of 12, where the cosine code bottoms at -1), and the motion
+    bbox covers the beating heart (the image-center region the generator
+    places it in)."""
+    import pickle
+
+    with open(phantom["pos_code_path"], "rb") as f:
+        pos_codes = pickle.load(f)
+    with open(phantom["coordinates_path"], "rb") as f:
+        coords = pickle.load(f)
+    assert pos_codes and coords
+    for patient, code in pos_codes.items():
+        assert code.shape == (12,)
+        es = int(code.argmin())
+        assert abs(es - round(0.4 * 12)) <= 1, (patient, code)
+        h0, hn, w0, wn = coords[patient]
+        # heart center ≈ torso center ± 6% of 96 px: bbox must contain it
+        assert h0 < 48 + 8 and hn > 48 - 8 and w0 < 48 + 8 and wn > 48 - 8, coords[patient]
+
+
 def test_trained_sr_beats_bicubic(phantom, tmp_path_factory):
     out = tmp_path_factory.mktemp("convergence")
     trainer = train_from_config(_train_cfg(phantom, out / "train", epochs=25))
