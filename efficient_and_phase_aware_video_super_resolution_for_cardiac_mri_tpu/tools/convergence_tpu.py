@@ -45,6 +45,9 @@ def _patch_paths(cfg, tree, out_dir, loaded_path=None):
     for metric in cfg.get("metrics", []):
         if "coordinates_path" in metric.get("kwargs", {}):
             metric.kwargs.coordinates_path = str(tree["coordinates_path"])
+    # predictors carry their own saved_dir kwarg (the reference test schema)
+    if "predictor" in cfg and "saved_dir" in cfg.predictor.get("kwargs", {}):
+        cfg.predictor.kwargs.saved_dir = str(out_dir)
     if loaded_path is not None:
         cfg.main.loaded_path = str(loaded_path)
     return cfg
