@@ -51,22 +51,9 @@ import tempfile
 import time
 from pathlib import Path
 
+from ._verbatim import patch_paths_only as _patch_paths_only
+
 REPO = Path(__file__).resolve().parents[2]
-
-
-def _patch_paths_only(cfg, tree, out_dir):
-    """Substitute only the path-valued fields; everything else untouched
-    (mirrors tests/test_reference_configs_run._patch_paths_only)."""
-    cfg.main.saved_dir = str(out_dir)
-    cfg.dataset.kwargs.data_dir = str(
-        tree["imgs_dir"] if "imgs" in cfg.dataset.kwargs.data_dir else tree["videos_dir"]
-    )
-    if "pos_code_path" in cfg.dataset.kwargs:
-        cfg.dataset.kwargs.pos_code_path = str(tree["pos_code_path"])
-    for metric in cfg.get("metrics", []):
-        if "coordinates_path" in metric.get("kwargs", {}):
-            metric.kwargs.coordinates_path = str(tree["coordinates_path"])
-    return cfg
 
 
 def run_one(yaml_rel: str, epochs: int, grad_accum: int, workdir: str | None) -> dict:
