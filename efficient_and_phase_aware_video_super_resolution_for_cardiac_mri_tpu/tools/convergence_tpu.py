@@ -122,6 +122,14 @@ def main(argv=None):
     ):
         tcfg = load_config(yaml_path)
         tcfg = _patch_paths(tcfg, tree, work / f"test_{family}_{name}", loaded_path=loaded)
+        if name == "trained":
+            # Evaluate the net we TRAINED.  For every family but duf the
+            # test YAML's net kwargs already equal the train YAML's; duf's
+            # test YAML names `_DenseLayer52` (the reference's released
+            # checkpoint) while its train YAML ships `_DenseLayer16`
+            # (/root/reference/configs/{train,test}/duf_net/exp1_x4.yaml) —
+            # a from-scratch convergence eval must load the trained shape.
+            tcfg.net = cfg.net
         if args.device:
             tcfg.predictor.kwargs.device = args.device
         t0 = time.perf_counter()
