@@ -123,13 +123,17 @@ def main(argv=None):
         tcfg = load_config(yaml_path)
         tcfg = _patch_paths(tcfg, tree, work / f"test_{family}_{name}", loaded_path=loaded)
         if name == "trained":
-            # Evaluate the net we TRAINED.  For every family but duf the
-            # test YAML's net kwargs already equal the train YAML's; duf's
-            # test YAML names `_DenseLayer52` (the reference's released
-            # checkpoint) while its train YAML ships `_DenseLayer16`
-            # (/root/reference/configs/{train,test}/duf_net/exp1_x4.yaml) —
-            # a from-scratch convergence eval must load the trained shape.
-            tcfg.net = cfg.net
+            # Evaluate the net we TRAINED: overlay the train YAML's net
+            # kwargs, KEEPING test-only keys.  duf's test YAML names
+            # `_DenseLayer52` (the reference's released checkpoint) while
+            # its train YAML ships `_DenseLayer16`
+            # (/root/reference/configs/{train,test}/duf_net/exp1_x4.yaml),
+            # so a from-scratch convergence eval must load the trained
+            # shape; frvsr's test YAML adds `is_prediction: True` (SR-only
+            # forward), which must survive the overlay.
+            tcfg.net.name = cfg.net.name
+            for k, v in cfg.net.get("kwargs", {}).items():
+                tcfg.net.kwargs[k] = v
         if args.device:
             tcfg.predictor.kwargs.device = args.device
         t0 = time.perf_counter()
